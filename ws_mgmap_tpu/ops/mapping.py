@@ -1,0 +1,156 @@
+"""Egocentric-to-global map registration — the per-step hot path.
+
+Functional, TPU-native equivalent of the reference's stateful
+``Mapping``/``RGBMapping`` modules (`vlnce_baselines/common/rgb_mapping.py:11-90`).
+The persistent global map is an explicit JAX array threaded through the step
+function (donated under jit), not a module buffer, so the whole rollout hot
+loop stays on device with no host round-trips.
+
+Per step (mirrors `project_feat_to_map`, `rgb_mapping.py:32-72`):
+  1. channel-pool the UNet projection feature to ``map_depth`` channels,
+  2. pinhole back-project + scatter-max splat + rotate by -compass
+     (:mod:`ws_mgmap_tpu.ops.projection`),
+  3. paste the 100x100 ego view into the center of a 240x240 frame,
+  4. translate by the GPS-derived grid offset (bilinear warp),
+  5. max-fuse into the persistent global map (zeroed at episode start via
+     ``masks``),
+  6. inverse-translate the fused map, crop the center 100x100, rotate by
+     +compass to produce the egocentric retrieval fed to the policy.
+
+Layout: all maps channels-last. The global map is [B, G, G, C] exactly like
+the reference's ``full_global_map`` (`rgb_mapping.py:29`).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ws_mgmap_tpu.ops import resample
+from ws_mgmap_tpu.ops.pooling import adaptive_max_pool_lastdim
+from ws_mgmap_tpu.ops.projection import project_egocentric
+
+Array = jax.Array
+
+
+class MapperParams(NamedTuple):
+    """Static geometry of the mapper (reference `config/default.py:131-137`)."""
+
+    resolution: float = 0.12
+    ego_size: int = 100
+    global_size: int = 240
+    map_depth: int = 64
+    depth_scale: float = 10.0  # habitat depth in [0,1] x10 -> meters
+
+    @property
+    def coordinate_min(self) -> float:
+        return -self.global_size * self.resolution / 2.0
+
+    @property
+    def coordinate_max(self) -> float:
+        return self.global_size * self.resolution / 2.0
+
+    @property
+    def grid_size(self) -> float:
+        return (self.coordinate_max - self.coordinate_min) / self.global_size
+
+
+def init_global_map(num_envs: int, p: MapperParams, dtype=jnp.float32) -> Array:
+    """Fresh ``full_global_map`` (reference `rgb_mapping.py:29`)."""
+    return jnp.zeros((num_envs, p.global_size, p.global_size, p.map_depth), dtype)
+
+
+def gps_to_grid(gps: Array, p: MapperParams) -> Tuple[Array, Array]:
+    """`to_grid.get_grid_coords` (reference `rgb_mapping.py:100-103`)."""
+    grid_x = jnp.round((p.coordinate_max - gps[:, 0]) / p.grid_size)
+    grid_y = jnp.round((gps[:, 1] - p.coordinate_min) / p.grid_size)
+    return grid_x, grid_y
+
+
+def register_and_retrieve(
+    global_map: Array,
+    ego_proj: Array,
+    gps: Array,
+    compass: Array,
+    masks: Array,
+    p: MapperParams,
+) -> Tuple[Array, Array]:
+    """Fuse one egocentric projection into the global map and read back.
+
+    Args:
+      global_map: [B, G, G, C] persistent map (channels-last).
+      ego_proj:   [B, E, E, C] heading-aligned ego projection (step 2 above).
+      gps:        [B, 2] habitat GPS observation.
+      compass:    [B, 1] or [B] compass observation (radians).
+      masks:      [B, 1] or [B] not-done masks; 0 clears the map at episode
+                  start (reference `rgb_mapping.py:35`).
+    Returns:
+      (ego_map [B, E, E, C], new_global_map [B, G, G, C]).
+    """
+    b = ego_proj.shape[0]
+    g, e = p.global_size, p.ego_size
+    half = g // 2
+    compass = compass.reshape(b)
+    masks = masks.reshape(b, 1, 1, 1).astype(global_map.dtype)
+
+    global_map = global_map * masks
+
+    grid_x, grid_y = gps_to_grid(gps, p)
+
+    # Paste the ego view into the center of a fresh global-size frame
+    # (reference `rgb_mapping.py:40-44`).
+    lo = half - e // 2
+    agent_view = jnp.zeros((b, g, g, ego_proj.shape[-1]), ego_proj.dtype)
+    agent_view = jax.lax.dynamic_update_slice(
+        agent_view, ego_proj, (0, lo, lo, 0)
+    )
+
+    # Translate to the agent's global position (`rgb_mapping.py:45-53`).
+    tx = -(grid_y - half) / half
+    ty = -(grid_x - half) / half
+    translated = resample.translate_norm(agent_view, tx, ty)
+
+    # Max-fuse (`rgb_mapping.py:55-56`).
+    new_global = jnp.maximum(global_map, translated)
+
+    # Inverse translate + center crop + rotate back to egocentric
+    # (`rgb_mapping.py:57-70`).
+    back = resample.translate_norm(new_global, -tx, -ty)
+    crop = jax.lax.dynamic_slice(
+        back, (0, lo, lo, 0), (b, e, e, back.shape[-1])
+    )
+    ego_map = resample.rotate_about_center(crop, compass)
+
+    return ego_map, new_global
+
+
+@functools.partial(jax.jit, static_argnames=("p",), donate_argnames=("global_map",))
+def rgb_mapping_step(
+    global_map: Array,
+    rgb_proj_feat: Array,
+    depth: Array,
+    gps: Array,
+    compass: Array,
+    masks: Array,
+    p: MapperParams,
+) -> Tuple[Array, Array]:
+    """Full ``RGBMapping.forward`` (reference `rgb_mapping.py:79-90`).
+
+    Args:
+      rgb_proj_feat: [B, 224, 224, C] UNet ``proj_feat`` (channels-last).
+      depth: [B, 256, 256, 1] habitat depth in [0, 1].
+    Returns:
+      (ego_map [B, E, E, map_depth], new_global_map). The global map buffer
+      is donated, so under jit the update is in-place in HBM.
+    """
+    feats = adaptive_max_pool_lastdim(rgb_proj_feat, p.map_depth)
+    ego_proj = project_egocentric(
+        feats,
+        depth * p.depth_scale,
+        -compass.reshape(-1),
+        ego_size=p.ego_size,
+        local_scale=p.grid_size,
+    )
+    return register_and_retrieve(global_map, ego_proj, gps, compass, masks, p)

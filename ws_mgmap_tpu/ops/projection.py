@@ -1,0 +1,155 @@
+"""Pinhole back-projection and ground-plane scatter-max splat.
+
+TPU-native re-implementation of the reference's per-step egocentric
+projection (reference `vlnce_baselines/common/rgb_mapping.py`):
+
+  * :func:`spatial_locs` — `ComputeSpatialLocs.forward` (`rgb_mapping.py:142-176`):
+    pinhole back-projects the depth image (already scaled to meters by the
+    caller, the reference multiplies by 10 at `rgb_mapping.py:37`) into 3-D,
+    keeps points with height -1.5 < Y < 0.1, and bins X/Z into an
+    ``ego_size`` x ``ego_size`` grid at ``local_scale`` m/cell.
+  * :func:`splat_to_ground` — `ProjectToGroundPlane.forward`
+    (`rgb_mapping.py:179-232`): scatter-max of per-pixel features into the
+    ego grid. The reference uses the CUDA `torch_scatter.scatter_max`; here
+    it is `jax.ops.segment_max` (XLA scatter on TPU), vmapped over batch.
+  * :func:`project_egocentric` — `Projection.forward` (`rgb_mapping.py:253-268`):
+    splat followed by a rotation to the agent's heading.
+
+All images are channels-last (NHWC). All shapes static.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ws_mgmap_tpu.ops.resample import rotate_about_center
+
+Array = jax.Array
+
+# Sentinel used by the reference to make max-pooling ignore invalid writes
+# (`rgb_mapping.py:188`).
+EPS_INVALID = -1e16
+
+
+def spatial_locs(
+    depth: Array,
+    ego_size: int,
+    local_scale: float,
+    fov_deg: float = 90.0,
+) -> Tuple[Array, Array, Array]:
+    """Back-project a depth map to ego-grid cell coordinates.
+
+    Args:
+      depth: [B, H, W, 1] depth in meters (caller applies the x10 scaling,
+        see reference `rgb_mapping.py:37`).
+      ego_size: egocentric map size in cells (100).
+      local_scale: meters per cell (0.12).
+    Returns:
+      (x_gp, y_gp, valid): each [B, H, W]; integer cell coords and validity.
+    """
+    b, h, w, _ = depth.shape
+    z = depth[..., 0]  # [B, H, W]
+    # Camera intrinsics as in the reference (`rgb_mapping.py:148-151`):
+    # note cx is derived from image height and fy from width, which is
+    # identical for the square 256x256 depth sensor.
+    cx, cy = h / 2.0, w / 2.0
+    fx = (h / 2.0) / jnp.tan(jnp.deg2rad(fov_deg / 2.0))
+    fy = (w / 2.0) / jnp.tan(jnp.deg2rad(fov_deg / 2.0))
+
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]          # [1,1,W]
+    ys = jnp.arange(h, 0, -1, dtype=jnp.float32)[None, :, None]   # [1,H,1]
+    xx = (xs - cx) / fx
+    yy = (ys - cy) / fy
+
+    x3d = xx * z
+    y3d = yy * z
+
+    valid = (z != 0) & (y3d > -1.5) & (y3d < 0.1)
+
+    half = (ego_size - 1) / 2.0
+    # torch .round() rounds half-to-even; jnp.round matches.
+    x_gp = jnp.round(x3d / local_scale + half).astype(jnp.int32)
+    y_gp = jnp.round(-(z / local_scale) + half).astype(jnp.int32)
+    return x_gp, y_gp, valid
+
+
+def _subsample_indices(src: int, dst: int) -> Array:
+    """Reference index subsampling (`rgb_mapping.py:189-193`): floor(i * K)."""
+    k = src / dst
+    return (jnp.arange(dst, dtype=jnp.float32) * k).astype(jnp.int32)
+
+
+def splat_to_ground(
+    feats: Array,
+    x_gp: Array,
+    y_gp: Array,
+    valid: Array,
+    ego_size: int,
+) -> Array:
+    """Scatter-max per-pixel features onto the egocentric ground grid.
+
+    Args:
+      feats: [B, Hf, Wf, C] pixel features (e.g. UNet proj feature at 224x224).
+      x_gp, y_gp, valid: [B, Hd, Wd] from :func:`spatial_locs` (depth res).
+    Returns:
+      [B, ego_size, ego_size, C]; cells with no valid writes are 0
+      (torch_scatter fills untouched with 0 and the reference zeroes
+      eps-only cells at `rgb_mapping.py:229-230`).
+    """
+    b, hf, wf, c = feats.shape
+    hd, wd = x_gp.shape[1:]
+    if (hd, wd) != (hf, wf):
+        iy = _subsample_indices(hd, hf)
+        ix = _subsample_indices(wd, wf)
+        x_gp = x_gp[:, iy[:, None], ix[None, :]]
+        y_gp = y_gp[:, iy[:, None], ix[None, :]]
+        valid = valid[:, iy[:, None], ix[None, :]]
+
+    in_bounds = (
+        (x_gp >= 0) & (x_gp < ego_size) & (y_gp >= 0) & (y_gp < ego_size)
+    )
+    invalid = ~(valid & in_bounds)
+
+    # Invalid writes go to cell (0, 0) carrying the EPS sentinel
+    # (`rgb_mapping.py:206-212`).
+    lin = jnp.where(invalid, 0, y_gp * ego_size + x_gp)  # [B, Hd, Wd]
+    masked = jnp.where(
+        invalid[..., None], EPS_INVALID, feats.astype(jnp.float32)
+    )
+
+    num_cells = ego_size * ego_size
+
+    def one(feat_flat: Array, ids_flat: Array) -> Array:
+        return jax.ops.segment_max(
+            feat_flat, ids_flat, num_segments=num_cells,
+            indices_are_sorted=False, unique_indices=False,
+        )
+
+    out = jax.vmap(one)(masked.reshape(b, -1, c), lin.reshape(b, -1))
+    # Untouched segments are -inf from segment_max; eps-only cells are EPS.
+    # Both become 0, matching torch_scatter's zero fill + the reference's
+    # eps replacement (`rgb_mapping.py:229-230`).
+    out = jnp.where(out <= EPS_INVALID, 0.0, out)
+    return out.reshape(b, ego_size, ego_size, c)
+
+
+@functools.partial(jax.jit, static_argnames=("ego_size", "local_scale"))
+def project_egocentric(
+    feats: Array,
+    depth_m: Array,
+    heading: Array,
+    ego_size: int = 100,
+    local_scale: float = 0.12,
+) -> Array:
+    """Full per-frame projection: pinhole -> splat -> rotate to heading.
+
+    Mirrors `Projection.forward` (`rgb_mapping.py:264-268`); the caller passes
+    ``heading = -compass`` exactly like `Mapping.project_feat_to_map`
+    (`rgb_mapping.py:37`).
+    """
+    x_gp, y_gp, valid = spatial_locs(depth_m, ego_size, local_scale)
+    grid = splat_to_ground(feats, x_gp, y_gp, valid, ego_size)
+    return rotate_about_center(grid, heading)

@@ -1,0 +1,179 @@
+"""Bilinear / nearest affine resampling with PyTorch `grid_sample` semantics.
+
+The reference registers each egocentric observation into a persistent global
+map with four `F.affine_grid` + `F.grid_sample` warps per simulator step
+(reference `vlnce_baselines/common/rgb_mapping.py:53,65,136-137,248-249`) and
+uses nearest-mode warps in the GT semantic-map sensor
+(`habitat_extensions/sensors.py:392,403-405`).  Here the same math is
+implemented as pure-JAX gather kernels over **channels-last** images (TPU
+native layout), shape-static and vmap/jit friendly.
+
+Semantics replicated exactly (fp32):
+  * ``align_corners=False`` (torch>=1.3 default used by the reference),
+  * zero padding outside the source image,
+  * bilinear corner weighting / nearest = round-half-to-even,
+  * torch ``affine_grid`` normalized coordinate convention
+    (x = width axis, y = height axis, both in [-1, 1]).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def affine_grid(theta: Array, height: int, width: int, align_corners: bool = False) -> Array:
+    """Torch-compatible ``F.affine_grid`` for 2-D images.
+
+    Args:
+      theta: [N, 2, 3] affine matrices acting on normalized (x, y, 1).
+      height, width: output grid size.
+    Returns:
+      grid: [N, height, width, 2] with (..., 0)=x and (..., 1)=y in [-1, 1].
+    """
+    if align_corners:
+        xs = jnp.linspace(-1.0, 1.0, width, dtype=jnp.float32)
+        ys = jnp.linspace(-1.0, 1.0, height, dtype=jnp.float32)
+    else:
+        # pixel-center convention: x_j = (2j + 1)/W - 1
+        xs = (2.0 * jnp.arange(width, dtype=jnp.float32) + 1.0) / width - 1.0
+        ys = (2.0 * jnp.arange(height, dtype=jnp.float32) + 1.0) / height - 1.0
+    gx, gy = jnp.meshgrid(xs, ys)  # [H, W]
+    base = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # [H, W, 3]
+    # grid[n,h,w,k] = sum_j theta[n,k,j] * base[h,w,j]
+    return jnp.einsum("nkj,hwj->nhwk", theta, base)
+
+
+def _unnormalize(coord: Array, size: int, align_corners: bool) -> Array:
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+def grid_sample(
+    img: Array,
+    grid: Array,
+    mode: str = "bilinear",
+    align_corners: bool = False,
+) -> Array:
+    """Torch-compatible ``F.grid_sample`` (zeros padding) on NHWC images.
+
+    Args:
+      img:  [N, H, W, C] source.
+      grid: [N, Ho, Wo, 2] sampling locations, (...,0)=x, (...,1)=y in [-1,1].
+      mode: "bilinear" or "nearest".
+    Returns:
+      [N, Ho, Wo, C] resampled image.
+    """
+    n, h, w, c = img.shape
+    ix = _unnormalize(grid[..., 0], w, align_corners)
+    iy = _unnormalize(grid[..., 1], h, align_corners)
+
+    def gather(iy_i: Array, ix_i: Array) -> Array:
+        """Zero-padded gather at integer pixel coords [N, Ho, Wo] -> [N,Ho,Wo,C]."""
+        valid = (ix_i >= 0) & (ix_i < w) & (iy_i >= 0) & (iy_i < h)
+        xs = jnp.clip(ix_i, 0, w - 1)
+        ys = jnp.clip(iy_i, 0, h - 1)
+        flat_idx = (ys * w + xs).reshape(n, -1)  # [N, Ho*Wo]
+        flat_img = img.reshape(n, h * w, c)
+        out = jnp.take_along_axis(flat_img, flat_idx[..., None], axis=1)
+        out = out.reshape(*ix_i.shape, c)
+        return jnp.where(valid[..., None], out, 0.0)
+
+    if mode == "nearest":
+        # torch uses std::nearbyint == round-half-to-even, same as jnp.round
+        xi = jnp.round(ix).astype(jnp.int32)
+        yi = jnp.round(iy).astype(jnp.int32)
+        return gather(yi, xi)
+
+    if mode != "bilinear":
+        raise ValueError(f"unsupported mode: {mode}")
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    wx = (ix - x0)[..., None]
+    wy = (iy - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
+
+
+def affine_warp(
+    img: Array,
+    theta: Array,
+    out_hw: tuple[int, int] | None = None,
+    mode: str = "bilinear",
+    align_corners: bool = False,
+) -> Array:
+    """``grid_sample(img, affine_grid(theta))`` fused convenience wrapper."""
+    h, w = out_hw if out_hw is not None else img.shape[1:3]
+    return grid_sample(img, affine_grid(theta, h, w, align_corners), mode, align_corners)
+
+
+def rotation_theta(angle: Array, clockwise_xy: bool = False) -> Array:
+    """Affine matrices for a rotation about the image center.
+
+    Matches the reference's two rotation conventions:
+      * ``get_grid`` theta1 = [[cos, -sin, 0], [sin, cos, 0]]
+        (reference `rgb_mapping.py:124-128`) -> ``clockwise_xy=False``.
+      * ``RotateTensor`` A = [[cos, sin, 0], [-sin, cos, 0]]
+        (reference `rgb_mapping.py:242-246`) -> ``clockwise_xy=True``.
+
+    Args:
+      angle: [N] rotation angles (radians).
+    Returns:
+      [N, 2, 3] theta for :func:`affine_warp`.
+    """
+    angle = jnp.asarray(angle, jnp.float32).reshape(-1)
+    cos_t = jnp.cos(angle)
+    sin_t = jnp.sin(angle)
+    zeros = jnp.zeros_like(cos_t)
+    if clockwise_xy:
+        row0 = jnp.stack([cos_t, sin_t, zeros], axis=-1)
+        row1 = jnp.stack([-sin_t, cos_t, zeros], axis=-1)
+    else:
+        row0 = jnp.stack([cos_t, -sin_t, zeros], axis=-1)
+        row1 = jnp.stack([sin_t, cos_t, zeros], axis=-1)
+    return jnp.stack([row0, row1], axis=1)
+
+
+def translation_theta(tx: Array, ty: Array) -> Array:
+    """Theta for a pure translation in normalized coords.
+
+    Matches reference ``get_grid`` theta2 = [[1, 0, x], [0, 1, y]]
+    (`rgb_mapping.py:130-134`).
+    """
+    tx = jnp.asarray(tx, jnp.float32).reshape(-1)
+    ty = jnp.asarray(ty, jnp.float32).reshape(-1)
+    ones = jnp.ones_like(tx)
+    zeros = jnp.zeros_like(tx)
+    row0 = jnp.stack([ones, zeros, tx], axis=-1)
+    row1 = jnp.stack([zeros, ones, ty], axis=-1)
+    return jnp.stack([row0, row1], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "align_corners"))
+def rotate_about_center(img: Array, angle: Array, mode: str = "bilinear",
+                        align_corners: bool = False) -> Array:
+    """Reference ``RotateTensor.forward`` (`rgb_mapping.py:235-250`), NHWC."""
+    return affine_warp(img, rotation_theta(angle, clockwise_xy=True),
+                       mode=mode, align_corners=align_corners)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "align_corners"))
+def translate_norm(img: Array, tx: Array, ty: Array, mode: str = "bilinear",
+                   align_corners: bool = False) -> Array:
+    """Translate by (tx, ty) in normalized output coords (NHWC)."""
+    return affine_warp(img, translation_theta(tx, ty), mode=mode,
+                       align_corners=align_corners)
