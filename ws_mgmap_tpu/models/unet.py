@@ -1,0 +1,116 @@
+"""ResNet18-backbone UNet RGB segmenter (frozen in the policy).
+
+Re-design of the reference's `ResNetUNet` (`vlnce_baselines/models/encoders/
+unet_encoder.py:30-111`): 3->27 classes at 224x224, returning both the
+bottleneck feature (after ``layer4_1x1``, the tensor cached as
+``rgb_features`` by the trainer hooks, `dagger_trainer.py:311`) and the
+64-channel full-resolution feature (``proj_feat``) consumed by the ground
+projection. NHWC throughout.
+
+Parameter paths mirror the torch state_dict (relative to the reference's
+``UNet.base_model``), e.g. ``layer0/0/kernel`` <- ``layer0.0.weight``,
+``layer1/1/0/conv1`` <- ``layer1.1.0.conv1`` so released checkpoints convert
+mechanically (see utils/convert.py).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ws_mgmap_tpu.models.layers import ConvBNReLU, max_pool_3x3s2, tconv
+from ws_mgmap_tpu.models.resnet import ResLayer
+from ws_mgmap_tpu.ops.pooling import upsample_bilinear_x2_nhwc
+
+Array = jax.Array
+
+
+class _Layer0(nn.Module):
+    """Sequential(conv1 7x7 s2, bn1, relu) == resnet children[:3]."""
+
+    in_c: int
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        x = tconv(self.in_c, 64, 7, 2, 3, bias=False, name="0")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="1")(x)
+        return nn.relu(x)
+
+
+class _Layer1(nn.Module):
+    """Sequential(maxpool, resnet.layer1) == resnet children[3:5]."""
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        x = max_pool_3x3s2(x)
+        return ResLayer(64, 64, 1, name="1")(x, train)
+
+
+class ResNetUNet(nn.Module):
+    """See module docstring. ``n_class_out=27`` for the mpcat40->27 remap."""
+
+    n_channel_in: int = 3
+    n_class_out: int = 27
+
+    output_bottleneck_channels: int = 512
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Tuple[Array, Array, Array]:
+        """Returns (layer4_feat [B,7,7,512], proj_feat [B,224,224,64],
+        seg_logits [B,224,224,27])."""
+        x_original = ConvBNReLU(self.n_channel_in, 64, 3, 1,
+                                name="conv_original_size0")(x, train)
+        x_original = ConvBNReLU(64, 64, 3, 1,
+                                name="conv_original_size1")(x_original, train)
+
+        layer0 = _Layer0(self.n_channel_in, name="layer0")(x, train)
+        layer1 = _Layer1(name="layer1")(layer0, train)
+        layer2 = ResLayer(64, 128, 2, name="layer2")(layer1, train)
+        layer3 = ResLayer(128, 256, 2, name="layer3")(layer2, train)
+        layer4 = ResLayer(256, 512, 2, name="layer4")(layer3, train)
+
+        layer4 = ConvBNReLU(512, 512, 1, 0, name="layer4_1x1")(layer4, train)
+        bottleneck = layer4
+
+        y = upsample_bilinear_x2_nhwc(layer4)
+        layer3 = ConvBNReLU(256, 256, 1, 0, name="layer3_1x1")(layer3, train)
+        y = jnp.concatenate([y, layer3], axis=-1)
+        y = ConvBNReLU(256 + 512, 512, 3, 1, name="conv_up3")(y, train)
+
+        y = upsample_bilinear_x2_nhwc(y)
+        layer2 = ConvBNReLU(128, 128, 1, 0, name="layer2_1x1")(layer2, train)
+        y = jnp.concatenate([y, layer2], axis=-1)
+        y = ConvBNReLU(128 + 512, 256, 3, 1, name="conv_up2")(y, train)
+
+        y = upsample_bilinear_x2_nhwc(y)
+        layer1 = ConvBNReLU(64, 64, 1, 0, name="layer1_1x1")(layer1, train)
+        y = jnp.concatenate([y, layer1], axis=-1)
+        y = ConvBNReLU(64 + 256, 256, 3, 1, name="conv_up1")(y, train)
+
+        y = upsample_bilinear_x2_nhwc(y)
+        layer0 = ConvBNReLU(64, 64, 1, 0, name="layer0_1x1")(layer0, train)
+        y = jnp.concatenate([y, layer0], axis=-1)
+        y = ConvBNReLU(64 + 256, 128, 3, 1, name="conv_up0")(y, train)
+
+        y = upsample_bilinear_x2_nhwc(y)
+        y = jnp.concatenate([y, x_original], axis=-1)
+        proj_feat = ConvBNReLU(64 + 128, 64, 3, 1,
+                               name="conv_original_size2")(y, train)
+
+        seg = tconv(64, self.n_class_out, 1, 1, 0, bias=True,
+                    name="conv_last")(proj_feat)
+
+        return bottleneck, proj_feat, seg
+
+
+class UNet(nn.Module):
+    """Reference `UNet` wrapper (`unet_encoder.py:14-27`): the pretrained
+    segmenter lives under ``base_model``. Frozen during policy training
+    (`mg_map_policy.py:36-37`); the caller must pass ``train=False``."""
+
+    @nn.compact
+    def __call__(self, rgb: Array, train: bool = False):
+        return ResNetUNet(name="base_model")(rgb, train)

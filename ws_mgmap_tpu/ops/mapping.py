@@ -126,7 +126,7 @@ def register_and_retrieve(
     return ego_map, new_global
 
 
-@functools.partial(jax.jit, static_argnames=("p",), donate_argnames=("global_map",))
+@functools.partial(jax.jit, static_argnames=("p",))
 def rgb_mapping_step(
     global_map: Array,
     rgb_proj_feat: Array,
@@ -142,8 +142,9 @@ def rgb_mapping_step(
       rgb_proj_feat: [B, 224, 224, C] UNet ``proj_feat`` (channels-last).
       depth: [B, 256, 256, 1] habitat depth in [0, 1].
     Returns:
-      (ego_map [B, E, E, map_depth], new_global_map). The global map buffer
-      is donated, so under jit the update is in-place in HBM.
+      (ego_map [B, E, E, map_depth], new_global_map). Donate the global map
+      at the *outer* rollout-step jit (e.g. ``jax.jit(step,
+      donate_argnames="global_map")``) so the update is in-place in HBM.
     """
     feats = adaptive_max_pool_lastdim(rgb_proj_feat, p.map_depth)
     ego_proj = project_egocentric(
