@@ -113,27 +113,32 @@ def test_mgmapnet_seq_matches_stepwise():
         "depth_features": jnp.asarray(RNG.randn(T * N, 4, 4, 128).astype(np.float32)),
         "rgb_ego_map": jnp.asarray(RNG.rand(T * N, 20, 20, 64).astype(np.float32)),
     }
-    masks = np.ones((T * N, 1), np.float32)
-    masks[:N] = 0.0
-    masks[2 * N] = 0.0  # episode boundary mid-sequence for env 0
+    # episode-major masks [N, T]; 0 at t=0 and one mid-episode reset
+    masks = np.ones((N, T), np.float32)
+    masks[:, 0] = 0.0
+    masks[0, 2] = 0.0
 
     h0 = jnp.zeros((2, N, 512))
     variables = f_net.init(jax.random.PRNGKey(3), obs, jnp.zeros((2, T * N, 512)),
-                           jnp.asarray(masks), False)
+                           jnp.zeros((T * N, 1)), False)
 
+    obs_nt = {k: jnp.reshape(v, (N, T, *v.shape[1:]))
+              for k, v in obs.items()}
     feats_seq, _, att_seq = f_net.apply(
-        variables, obs, h0, jnp.asarray(masks), T, False, method=MGMapNet.seq
+        variables, obs_nt, h0, jnp.asarray(masks), False, method=MGMapNet.seq
     )
+    assert feats_seq.shape == (N, T, 512)
+    assert att_seq.shape[:2] == (N, T)
 
     h = h0
     outs = []
     for t in range(T):
-        obs_t = {k: v[t * N:(t + 1) * N] for k, v in obs.items()}
+        obs_t = {k: v[:, t] for k, v in obs_nt.items()}
         f, h, _, att, _, _ = f_net.apply(
-            variables, obs_t, h, jnp.asarray(masks[t * N:(t + 1) * N]), False
+            variables, obs_t, h, jnp.asarray(masks[:, t:t + 1]), False
         )
         outs.append(np.asarray(f))
-    want = np.concatenate(outs, axis=0)
+    want = np.stack(outs, axis=1)  # [N, T, H]
     np.testing.assert_allclose(
         np.asarray(feats_seq), want, atol=1e-5, rtol=1e-5
     )

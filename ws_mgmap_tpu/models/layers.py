@@ -120,8 +120,10 @@ class TConvTranspose(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         k, s, p = self.kernel, self.stride, self.padding
+        # 'kernel_t' leaf tells the checkpoint converter this is a
+        # transposed conv (torch weight [in, out, kh, kw] + spatial flip).
         kernel = self.param(
-            "kernel", torch_conv_kernel_init, (k, k, self.in_c, self.features)
+            "kernel_t", torch_conv_kernel_init, (k, k, self.in_c, self.features)
         )
         pad = k - 1 - p
         y = jax.lax.conv_transpose(

@@ -327,26 +327,30 @@ class MGMapNet(nn.Module):
                 frames.ego_map, new_global)
 
     def seq(self, obs: Dict[str, Array], hidden0: Array, masks: Array,
-            t_steps: int, train: bool = True):
-        """Teacher-forcing forward over [T*N] flattened frames.
+            train: bool = True):
+        """Teacher-forcing forward over an episode-major batch.
 
-        obs leaves are [T*N, ...]; masks [T*N, 1] (0 at t=0 rows). Encoders
-        run fully batched; only the tiny core scans over T.
-        Returns (features [T*N,H], pred_sem [T*N,48,48,27], att [T*N,S]).
+        obs leaves are [N, T, ...] (episode-major so a data-parallel shard
+        over N survives the [N*T] flatten with no resharding); masks
+        [N, T] with 0 at episode starts. Encoders run fully batched over
+        all N*T frames; only the tiny recurrent core scans over T.
+        Returns (features [N,T,H], pred_sem [N,T,48,48,27], att [N,T,S]).
         """
-        frames, _ = self.encode_frames(obs, train)
-        tn = frames.state_in.shape[0]
-        n = tn // t_steps
+        n, t_steps = masks.shape[:2]
+        flat_obs = {k: v.reshape(n * t_steps, *v.shape[2:])
+                    for k, v in obs.items()}
+        frames, _ = self.encode_frames(flat_obs, train)
 
         def split(x):
-            return x.reshape(t_steps, n, *x.shape[1:])
+            # [N*T, ...] -> [T, N, ...] for the time scan
+            return jnp.swapaxes(x.reshape(n, t_steps, *x.shape[1:]), 0, 1)
 
         core_inputs = (
             split(frames.state_in),
             split(frames.map_embedding),
             split(frames.text),
             split(frames.text_pad),
-            masks.reshape(t_steps, n, 1),
+            jnp.swapaxes(masks.reshape(n, t_steps, 1), 0, 1),
         )
 
         def body(carry, inp):
@@ -360,9 +364,10 @@ class MGMapNet(nn.Module):
             body, (hidden0[0], hidden0[1]), core_inputs
         )
         return (
-            feat_seq.reshape(tn, -1),
-            frames.pred_sem_map,
-            att_seq.reshape(tn, -1),
+            jnp.swapaxes(feat_seq, 0, 1),
+            frames.pred_sem_map.reshape(n, t_steps,
+                                        *frames.pred_sem_map.shape[1:]),
+            jnp.swapaxes(att_seq, 0, 1),
         )
 
     def update_map(self, obs: Dict[str, Array], masks: Array,
@@ -432,10 +437,11 @@ class BasePolicy(nn.Module):
         return self.net.update_map(obs, masks, global_map)
 
     def forward_seq(self, obs: Dict[str, Array], hidden0: Array,
-                    masks: Array, t_steps: int, train: bool = True):
-        """Teacher forcing: returns (pred mean [T*N,2], aux dict)."""
-        features, pred_sem, att_map = self.net.seq(
-            obs, hidden0, masks, t_steps, train)
+                    masks: Array, train: bool = True):
+        """Teacher forcing over [N, T, ...] batches (see MGMapNet.seq).
+
+        Returns (pred mean [N,T,2], aux dict with per-frame outputs)."""
+        features, pred_sem, att_map = self.net.seq(obs, hidden0, masks, train)
         dist = self.action_distribution(features)
         prog = jnp.tanh(self.prog_pred(features))
         return dist.mean, {

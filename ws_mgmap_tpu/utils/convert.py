@@ -29,6 +29,7 @@ from flax import traverse_util
 
 LEAF_TO_TORCH = {
     "kernel": "weight",
+    "kernel_t": "weight",  # transposed-conv kernels (TConvTranspose)
     "scale": "weight",
     "bias": "bias",
     "embedding": "weight",
@@ -39,55 +40,67 @@ LEAF_TO_TORCH = {
 _RNN_LEAVES = ("weight_ih", "weight_hh", "bias_ih", "bias_hh")
 
 
+def _is_raw_torch_leaf(leaf: str) -> bool:
+    """Params stored verbatim in torch layout (raw dotted names created at
+    the policy level, RNN weights, the AddBias logstd)."""
+    return (
+        "." in leaf
+        or leaf == "_bias"
+        or any(leaf.startswith(p) for p in _RNN_LEAVES)
+    )
+
+
 def _torch_key(path: Tuple[str, ...]) -> str:
     *mods, leaf = path
-    if any(leaf.startswith(p) for p in _RNN_LEAVES) or leaf == "_bias":
-        mapped = leaf
-    else:
-        mapped = LEAF_TO_TORCH.get(leaf, leaf)
+    mapped = leaf if _is_raw_torch_leaf(leaf) else LEAF_TO_TORCH.get(leaf, leaf)
     return ".".join(list(mods) + [mapped])
 
 
-def _to_flax_leaf(torch_arr: np.ndarray, flax_shape: Tuple[int, ...]) -> np.ndarray:
+def _to_flax_leaf(torch_arr: np.ndarray, flax_shape: Tuple[int, ...],
+                  leaf: str) -> np.ndarray:
+    """Transform keyed on the *leaf kind*, never on accidental shape matches
+    (a square dense kernel must still transpose)."""
     t = np.asarray(torch_arr)
-    if t.shape == tuple(flax_shape):
-        return t
-    if t.ndim == 4:
-        conv = np.transpose(t, (2, 3, 1, 0))  # [O,I,kh,kw] -> [kh,kw,I,O]
-        if conv.shape == tuple(flax_shape):
-            return conv
-        # transposed conv: torch [I,O,kh,kw]; flax stores [kh,kw,I,O] and
-        # lax.conv_transpose correlates, so flip spatial dims.
-        convt = np.transpose(t, (2, 3, 0, 1))[::-1, ::-1]
-        if convt.shape == tuple(flax_shape):
-            return np.ascontiguousarray(convt)
-    if t.ndim == 3 and t.shape[-1] == 1:  # conv1d k=1 -> dense
-        sq = np.transpose(t[..., 0], (1, 0))
-        if sq.shape == tuple(flax_shape):
-            return sq
-    if t.ndim == 2:
-        tr = t.T
-        if tr.shape == tuple(flax_shape):
-            return tr
-    raise ValueError(f"cannot map torch {t.shape} to flax {tuple(flax_shape)}")
+    fs = tuple(flax_shape)
+    if _is_raw_torch_leaf(leaf) or leaf in ("scale", "bias", "mean", "var",
+                                            "embedding"):
+        out = t
+        if t.ndim == len(fs) + 1 and t.shape[-1] == 1:
+            out = t[..., 0]  # conv1d(k=1) weight stored raw as [out, in]
+    elif leaf == "kernel":
+        if t.ndim == 4:            # conv [O,I,kh,kw] -> [kh,kw,I,O]
+            out = np.transpose(t, (2, 3, 1, 0))
+        elif t.ndim == 3:          # conv1d k=1 [O,I,1] -> dense [I,O]
+            out = np.transpose(t[..., 0], (1, 0))
+        else:                      # dense [out,in] -> [in,out]
+            out = t.T
+    elif leaf == "kernel_t":       # convT [I,O,kh,kw] -> [kh,kw,I,O] + flip
+        out = np.transpose(t, (2, 3, 0, 1))[::-1, ::-1]
+    else:
+        out = t
+    if out.shape != fs:
+        raise ValueError(
+            f"cannot map torch {t.shape} to flax {fs} for leaf {leaf!r}")
+    return np.ascontiguousarray(out)
 
 
 def _to_torch_leaf(flax_arr: np.ndarray, torch_shape: Optional[Tuple[int, ...]],
                    leaf: str) -> np.ndarray:
     a = np.asarray(flax_arr)
-    if torch_shape is not None and a.shape == tuple(torch_shape):
+    if _is_raw_torch_leaf(leaf) or leaf in ("scale", "bias", "mean", "var",
+                                            "embedding"):
+        if (torch_shape is not None and len(torch_shape) == a.ndim + 1
+                and torch_shape[-1] == 1):
+            return np.ascontiguousarray(a[..., None])  # raw dense -> conv1d
         return a
-    if a.ndim == 4:
-        conv = np.transpose(a, (3, 2, 0, 1))  # -> [O,I,kh,kw]
-        if torch_shape is None or conv.shape == tuple(torch_shape):
-            return conv
-        convt = np.transpose(a[::-1, ::-1], (2, 3, 0, 1))  # -> [I,O,kh,kw]
-        if convt.shape == tuple(torch_shape):
-            return np.ascontiguousarray(convt)
-    if a.ndim == 2:
+    if leaf == "kernel":
+        if a.ndim == 4:
+            return np.ascontiguousarray(np.transpose(a, (3, 2, 0, 1)))
         if torch_shape is not None and len(torch_shape) == 3:
             return np.ascontiguousarray(a.T[..., None])  # dense -> conv1d k=1
         return np.ascontiguousarray(a.T)
+    if leaf == "kernel_t":
+        return np.ascontiguousarray(np.transpose(a[::-1, ::-1], (2, 3, 0, 1)))
     return a
 
 
@@ -117,9 +130,9 @@ def import_torch_state(
         for path, leaf in flat.items():
             tkey = prefix + _torch_key(path)
             if tkey in sd:
-                new_flat[path] = _to_flax_leaf(sd[tkey], leaf.shape).astype(
-                    np.asarray(leaf).dtype
-                )
+                new_flat[path] = _to_flax_leaf(
+                    sd[tkey], leaf.shape, path[-1]
+                ).astype(np.asarray(leaf).dtype)
                 used.add(tkey)
             else:
                 new_flat[path] = leaf
