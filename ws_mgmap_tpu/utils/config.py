@@ -107,6 +107,11 @@ class Config(dict):
     def __deepcopy__(self, memo):
         return self.clone()
 
+    def __reduce__(self):
+        # dict-subclass pickling bypasses __init__; rebuild from plain dicts
+        # (unpickled configs come back unfrozen, which env workers rely on).
+        return (Config, (self.to_dict(),))
+
 
 def _coerce(value: Any, old: Any) -> Any:
     """Coerce a CLI string to the type of the existing value (yacs behavior)."""
