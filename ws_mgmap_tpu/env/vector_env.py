@@ -198,9 +198,14 @@ def construct_envs(
 
 
 def _default_sim_factory(config):
-    sim_type = config.TASK_CONFIG.SIMULATOR.TYPE
-    if sim_type == "FakeSim":
+    import functools
+
+    sim = config.TASK_CONFIG.SIMULATOR
+    rgb_hw = (sim.RGB_SENSOR.HEIGHT, sim.RGB_SENSOR.WIDTH)
+    depth_hw = (sim.DEPTH_SENSOR.HEIGHT, sim.DEPTH_SENSOR.WIDTH)
+    if sim.TYPE == "FakeSim":
         from ws_mgmap_tpu.env.sim import FakeSim
-        return FakeSim
+        return functools.partial(FakeSim, rgb_hw=rgb_hw, depth_hw=depth_hw)
     from ws_mgmap_tpu.env.habitat_backend import HabitatSimBackend
-    return HabitatSimBackend
+    return functools.partial(HabitatSimBackend, rgb_hw=rgb_hw,
+                             depth_hw=depth_hw)

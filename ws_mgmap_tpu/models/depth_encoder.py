@@ -61,7 +61,11 @@ class VlnResnetDepthEncoder(nn.Module):
     embedding_dim: int = 64
 
     @nn.compact
-    def __call__(self, depth: Array = None, cached: Array = None) -> Array:
+    def __call__(self, depth: Array = None, cached: Array = None):
+        """Returns (features [B,h,w,128+64], trunk [B,h,w,128]).
+
+        ``trunk`` is the pre-embedding visual_encoder output the trainer
+        caches as ``depth_features`` (`dagger_trainer.py:317-320`)."""
         if cached is not None:
             x = cached
         else:
@@ -78,4 +82,4 @@ class VlnResnetDepthEncoder(nn.Module):
         spatial = emb.reshape(-1).reshape(self.embedding_dim, h, w)
         spatial = jnp.transpose(spatial, (1, 2, 0))[None]
         spatial = jnp.broadcast_to(spatial, (b, h, w, self.embedding_dim))
-        return jnp.concatenate([x, spatial], axis=-1)
+        return jnp.concatenate([x, spatial], axis=-1), x

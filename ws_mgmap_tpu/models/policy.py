@@ -102,6 +102,8 @@ class FrameFeatures(NamedTuple):
     text_pad: Array          # [B, L] bool, True at pads
     pred_sem_map: Array      # [B, 48, 48, 27] logits
     ego_map: Array           # [B, E, E, map_depth]
+    rgb_features: Optional[Array] = None    # UNet bottleneck [B,7,7,512]
+    depth_features: Optional[Array] = None  # depth trunk [B,4,4,128]
 
 
 def _dense_params(mod: nn.Module, name: str, out_f: int, in_f: int):
@@ -199,17 +201,17 @@ class MGMapNet(nn.Module):
             bottleneck, proj_feat, _ = self.rgb_encoder(obs["rgb"], train=False)
         pooled = jnp.mean(bottleneck, axis=(1, 2))  # AdaptiveAvgPool1d(1)
         w, b = self._rgb_lin
-        return nn.relu(pooled @ w.T + b), proj_feat
+        return nn.relu(pooled @ w.T + b), proj_feat, bottleneck
 
-    def encode_depth(self, obs: Dict[str, Array]) -> Array:
+    def encode_depth(self, obs: Dict[str, Array]):
         if "depth_features" in obs:
-            x = self.depth_encoder(cached=obs["depth_features"])
+            x, trunk = self.depth_encoder(cached=obs["depth_features"])
         else:
-            x = self.depth_encoder(depth=obs["depth"])
+            x, trunk = self.depth_encoder(depth=obs["depth"])
         # torch flattens channel-first ([B, 192, 4, 4] -> [B, 3072])
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
         w, b = self._depth_lin
-        return nn.relu(x @ w.T + b)
+        return nn.relu(x @ w.T + b), trunk
 
     def encode_map(self, ego_map: Array, train: bool):
         """ego_map [B,E,E,C] -> (map_in, map_embedding [B,S,256], pred_sem)."""
@@ -244,7 +246,7 @@ class MGMapNet(nn.Module):
         c = self.cfg
         text, text_pad = self.instruction_encoder(obs["instruction"])
 
-        rgb_in, proj_feat = self.encode_rgb(obs)
+        rgb_in, proj_feat, rgb_bottleneck = self.encode_rgb(obs)
 
         new_global = None
         if "rgb_ego_map" in obs:
@@ -256,7 +258,7 @@ class MGMapNet(nn.Module):
                 obs["compass"], masks, c.mapper,
             )
 
-        depth_in = self.encode_depth(obs)
+        depth_in, depth_trunk = self.encode_depth(obs)
         map_in, map_embedding, pred_sem = self.encode_map(ego_map, train)
 
         parts = []
@@ -270,7 +272,7 @@ class MGMapNet(nn.Module):
 
         return (
             FrameFeatures(state_in, map_embedding, text, text_pad,
-                          pred_sem, ego_map),
+                          pred_sem, ego_map, rgb_bottleneck, depth_trunk),
             new_global,
         )
 
@@ -399,6 +401,10 @@ class PolicyOutputs(NamedTuple):
     att_map: Array
     ego_map: Array
     global_map: Optional[Array]
+    # feature caches for DAgger collection (replaces the reference's
+    # forward hooks, `dagger_trainer.py:303-327`)
+    rgb_features: Optional[Array] = None
+    depth_features: Optional[Array] = None
 
 
 class BasePolicy(nn.Module):
@@ -422,15 +428,19 @@ class BasePolicy(nn.Module):
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
     ) -> PolicyOutputs:
-        features, hidden, pred_sem, att_map, ego_map, new_global = self.net(
-            obs, hidden, masks, train=False, global_map=global_map)
+        frames, new_global = self.net.encode_frames(
+            obs, False, global_map, masks)
+        features, h1, att_map = self.net._core(
+            frames, hidden[0], hidden[1], masks)
+        hidden = jnp.stack([h1, features], axis=0)
         prog = jnp.tanh(self.prog_pred(features))
         dist = self.action_distribution(features)
         value = self.critic(features)
         action = dist.mode() if deterministic else dist.sample(rng)
         return PolicyOutputs(
             value, action, dist.log_probs(action), hidden, prog,
-            pred_sem, att_map, ego_map, new_global,
+            frames.pred_sem_map, att_map, frames.ego_map, new_global,
+            frames.rgb_features, frames.depth_features,
         )
 
     def update_map(self, obs, masks, global_map):

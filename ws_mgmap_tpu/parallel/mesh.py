@@ -49,3 +49,12 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
 
 def dp_size(mesh: Mesh) -> int:
     return int(np.prod([mesh.shape[a] for a in ("dp",)]))
+
+
+def best_dp(batch_size: int, max_devices: Optional[int] = None) -> int:
+    """Largest device count that evenly divides the episode batch."""
+    n = max_devices or len(jax.devices())
+    for d in range(min(n, batch_size), 0, -1):
+        if batch_size % d == 0:
+            return d
+    return 1

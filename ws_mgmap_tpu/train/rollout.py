@@ -1,0 +1,112 @@
+"""Device-side rollout engine for collection and evaluation.
+
+The reference's rollout loops (`dagger_trainer.py:249-503`,
+`common_trainer.py:228-506`) interleave per-step GPU forwards with host
+bookkeeping. TPU-first design: the policy step (UNet -> projection ->
+registration -> CMA core) is ONE jitted function over the whole env batch
+with the persistent global map donated in HBM — the host only moves raw
+observations in and small outputs (waypoint, prog) out. `update_map` steps
+(2 of every 3 sim steps, `policy.py:30-32`) compile to a lighter graph
+without the policy heads.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ws_mgmap_tpu.models.policy import BasePolicy, MGMapConfig
+from ws_mgmap_tpu.ops.mapping import init_global_map
+
+
+class RolloutEngine:
+    def __init__(self, policy: BasePolicy, variables: Dict[str, Any],
+                 num_envs: int, instruction_len: int = 200):
+        self.policy = policy
+        self.cfg = policy.cfg
+        self.variables = variables
+        self.instruction_len = instruction_len
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def _act(variables, obs, hidden, global_map, masks):
+            return policy.apply(
+                variables, obs, hidden, masks, global_map, True,
+                method=BasePolicy.act)
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def _update_map(variables, obs, global_map, masks):
+            return policy.apply(
+                variables, obs, masks, global_map,
+                method=BasePolicy.update_map)
+
+        self._act = _act
+        self._update_map = _update_map
+        self.reset_state(num_envs)
+
+    # -- state ---------------------------------------------------------------
+    def reset_state(self, num_envs: int) -> None:
+        self.num_envs = num_envs
+        h = self.cfg.hidden_size
+        self.hidden = jnp.zeros((2, num_envs, h))
+        self.global_map = init_global_map(num_envs, self.cfg.mapper)
+        self.prev_actions = np.zeros((num_envs, 2), np.float32)
+        self.prog = np.zeros((num_envs, 1), np.float32)
+
+    def zero_hidden_at(self, idx: int) -> None:
+        """End-of-look-around hidden reset (`dagger_trainer.py:443-445`)."""
+        self.hidden = self.hidden.at[:, idx, :].set(0.0)
+
+    def keep(self, keep_indices: Sequence[int]) -> None:
+        """Drop paused env slots from all device state
+        (`common_trainer.py:141-187` incl. the global-map slice)."""
+        idx = jnp.asarray(list(keep_indices), jnp.int32)
+        self.hidden = jnp.take(self.hidden, idx, axis=1)
+        self.global_map = jnp.take(self.global_map, idx, axis=0)
+        self.prev_actions = self.prev_actions[list(keep_indices)]
+        self.prog = self.prog[list(keep_indices)]
+        self.num_envs = len(keep_indices)
+
+    # -- obs ---------------------------------------------------------------
+    def batch_obs(self, observations: List[Dict[str, Any]]) -> Dict[str, jnp.ndarray]:
+        """Host-side stacking + device upload (batch_obs + transform_obs,
+        `common/utils.py:15-45`)."""
+        tokens = []
+        for o in observations:
+            t = np.asarray(o["instruction"]["tokens"]
+                           if isinstance(o["instruction"], dict)
+                           else o["instruction"], np.int32)
+            if t.shape[0] < self.instruction_len:
+                t = np.pad(t, (0, self.instruction_len - t.shape[0]))
+            tokens.append(t[: self.instruction_len])
+        batch = {
+            "instruction": np.stack(tokens),
+            "rgb": np.stack([np.asarray(o["rgb"], np.float32)
+                             for o in observations]),
+            "depth": np.stack([np.asarray(o["depth"], np.float32)
+                               for o in observations]),
+            "gps": np.stack([np.asarray(o["gps"], np.float32)
+                             for o in observations]),
+            "compass": np.stack([np.asarray(o["compass"], np.float32)
+                                 for o in observations]),
+        }
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    # -- steps ---------------------------------------------------------------
+    def act(self, obs_batch: Dict[str, jnp.ndarray], masks: np.ndarray,
+            deterministic: bool = True):
+        out = self._act(self.variables, obs_batch, self.hidden,
+                        self.global_map, jnp.asarray(masks, jnp.float32))
+        self.hidden = out.hidden
+        self.global_map = out.global_map
+        self.prog = np.asarray(out.prog)
+        return out
+
+    def update_map(self, obs_batch: Dict[str, jnp.ndarray],
+                   masks: np.ndarray):
+        ego_map, self.global_map = self._update_map(
+            self.variables, obs_batch, self.global_map,
+            jnp.asarray(masks, jnp.float32))
+        return ego_map

@@ -1,0 +1,254 @@
+"""Trainer orchestration: DAgger training + checkpoint-folder evaluation.
+
+Re-provides `CommonTrainer`/`DaggerTrainer`
+(`vlnce_baselines/common_trainer.py:29-535`, `dagger_trainer.py:241-678`)
+over the TPU stack: jitted data-parallel updates (train/step.py), device-
+resident rollouts (train/rollout.py, train/collector.py), the native
+trajectory store, torch-format checkpoints with auto-resume, and
+TensorBoard logging.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ws_mgmap_tpu.env.dataset import (
+    VLNCEDataset,
+    fake_gt_locations,
+    make_fake_dataset,
+)
+from ws_mgmap_tpu.models.policy import BasePolicy, MGMapConfig
+from ws_mgmap_tpu.ops.mapping import init_global_map
+from ws_mgmap_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from ws_mgmap_tpu.train import checkpoint as ckpt_lib
+from ws_mgmap_tpu.train import step as step_lib
+from ws_mgmap_tpu.train.collector import collect_dataset
+from ws_mgmap_tpu.train.evaluator import evaluate
+from ws_mgmap_tpu.train.losses import MonitorConfig
+from ws_mgmap_tpu.train.replay import ReplayLoader
+from ws_mgmap_tpu.train.rollout import RolloutEngine
+from ws_mgmap_tpu.utils.convert import import_torch_state, load_torch_checkpoint
+
+
+def load_split(config, split: str):
+    """Dataset + GT locations for a split; FakeSim data when the R2R_VLNCE
+    files are absent."""
+    import gzip
+    import json
+
+    path = config.TASK_CONFIG.DATASET.DATA_PATH.format(split=split)
+    if os.path.exists(path):
+        ds = VLNCEDataset.from_file(path)
+        gt_path = config.TASK_CONFIG.TASK.NDTW.GT_PATH.format(split=split)
+        gt = {}
+        if os.path.exists(gt_path):
+            with gzip.open(gt_path, "rt") as f:
+                gt = json.load(f)
+        return ds, gt
+    n = config.TASK_CONFIG.DATASET.FAKE_EPISODES
+    n_scenes = config.TASK_CONFIG.DATASET.FAKE_SCENES
+    scenes = [f"fake/{split}_{i}" for i in range(n_scenes)]
+    ds = make_fake_dataset(num_episodes=n, scenes=scenes,
+                           seed=abs(hash(split)) % 1000)
+    return ds, fake_gt_locations(ds)
+
+
+class DaggerTrainer:
+    """`DaggerTrainer` (`dagger_trainer.py:241-678`)."""
+
+    def __init__(self, config, rank: int = 0, world_size: int = 1,
+                 env_workers: bool = True):
+        self.config = config
+        self.rank = rank
+        self.world_size = world_size
+        self.env_workers = env_workers
+        self.model_cfg = MGMapConfig.from_config(config.MODEL)
+        self.monitors = MonitorConfig.from_config(config.MODEL)
+        self.policy = BasePolicy(self.model_cfg)
+        self.store_dir = config.DAGGER.LMDB_FEATURES_DIR
+        from ws_mgmap_tpu.parallel.mesh import best_dp
+        self.mesh = make_mesh(dp=best_dp(config.DAGGER.BATCH_SIZE))
+        self.writer = None
+
+    # -- setup ---------------------------------------------------------------
+    def init_variables(self, seed: int = 0) -> Dict[str, Any]:
+        c = self.model_cfg
+        sim = self.config.TASK_CONFIG.SIMULATOR
+        obs = {
+            "instruction": jnp.zeros((1, 200), jnp.int32),
+            "rgb": jnp.zeros((1, sim.RGB_SENSOR.HEIGHT, sim.RGB_SENSOR.WIDTH, 3)),
+            "depth": jnp.zeros(
+                (1, sim.DEPTH_SENSOR.HEIGHT, sim.DEPTH_SENSOR.WIDTH, 1)),
+            "gps": jnp.zeros((1, 2)),
+            "compass": jnp.zeros((1, 1)),
+        }
+        variables = self.policy.init(
+            jax.random.PRNGKey(seed), obs, jnp.zeros((2, 1, c.hidden_size)),
+            jnp.zeros((1, 1)), init_global_map(1, c.mapper),
+            method=BasePolicy.act,
+        )
+        variables = jax.tree.map(np.asarray, variables)
+        variables = self._load_pretrained(variables)
+        return variables
+
+    def _load_pretrained(self, variables):
+        """Frozen-trunk checkpoints (`unet_encoder.py:19-22`,
+        `resnet_encoders.py:37-50`) + optional policy ckpt."""
+        cfg = self.config
+        unet_path = cfg.MODEL.RGB_ENCODER.pretrain_model
+        if os.path.exists(unet_path):
+            sd = load_torch_checkpoint(unet_path)
+            sd = {f"net.rgb_encoder.base_model.{k}": v for k, v in sd.items()}
+            variables, miss, _ = import_torch_state(variables, sd)
+            self._log(f"loaded UNet weights from {unet_path}")
+        ddppo_path = cfg.MODEL.DEPTH_ENCODER.ddppo_checkpoint
+        if os.path.exists(ddppo_path):
+            raw = load_torch_checkpoint(ddppo_path)
+            sd = {}
+            for k, v in raw.items():
+                parts = k.split(".")[2:]
+                if parts and parts[0] == "visual_encoder":
+                    sd["net.depth_encoder." + ".".join(parts)] = v
+            variables, _, _ = import_torch_state(variables, sd)
+            self._log(f"loaded DD-PPO depth weights from {ddppo_path}")
+        if cfg.DAGGER.LOAD_FROM_CKPT and os.path.exists(cfg.DAGGER.CKPT_TO_LOAD):
+            variables, _ = ckpt_lib.restore_variables(
+                variables, cfg.DAGGER.CKPT_TO_LOAD)
+            self._log(f"loaded policy ckpt {cfg.DAGGER.CKPT_TO_LOAD}")
+        return variables
+
+    def _log(self, msg: str):
+        if self.rank == 0:
+            print(f"[trainer] {msg}", flush=True)
+
+    def _tb(self):
+        if self.writer is None and self.rank == 0:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                os.makedirs(self.config.TENSORBOARD_DIR, exist_ok=True)
+                self.writer = SummaryWriter(self.config.TENSORBOARD_DIR)
+            except Exception:
+                self.writer = False
+        return self.writer or None
+
+    # -- resume ---------------------------------------------------------------
+    def resume(self, variables):
+        """`resume_dagger` (`common_trainer.py:118-139`)."""
+        folder = self.config.CHECKPOINT_FOLDER
+        ckpt_file = self.config.RESUME_CKPT or ckpt_lib.latest_checkpoint(folder)
+        if not ckpt_file:
+            return variables, 0, 0
+        variables, blob = ckpt_lib.restore_variables(variables, ckpt_file)
+        d_it, epoch = ckpt_lib.parse_resume_point(
+            blob, ckpt_file, self.config.DAGGER.EPOCHS)
+        self._log(f"resumed from {ckpt_file} -> dagger_it={d_it} epoch={epoch}")
+        return variables, d_it, epoch
+
+    # -- train ---------------------------------------------------------------
+    def train(self) -> Dict[str, float]:
+        cfg = self.config
+        if self.rank == 0:
+            os.makedirs(self.store_dir, exist_ok=True)
+            os.makedirs(cfg.CHECKPOINT_FOLDER, exist_ok=True)
+
+        variables = self.init_variables()
+        variables, start_it, start_epoch = self.resume(variables)
+
+        optimizer = step_lib.make_optimizer(cfg.DAGGER.LR)
+        state = step_lib.create_train_state(variables, optimizer)
+        update = step_lib.make_train_step(
+            self.policy, optimizer, self.monitors, self.model_cfg.hidden_size)
+        jit_update = step_lib.jit_train_step(update, self.mesh)
+        state = replicate(self.mesh, state)
+
+        dataset, gt = load_split(cfg, cfg.TASK_CONFIG.DATASET.SPLIT)
+        tb = self._tb()
+        step_id = 0
+        metrics: Dict[str, float] = {}
+
+        for dagger_it in range(start_it, cfg.DAGGER.ITERATIONS):
+            if not cfg.DAGGER.PRELOAD_LMDB_FEATURES:
+                engine = RolloutEngine(
+                    self.policy,
+                    {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)},
+                    cfg.NUM_PROCESSES)
+                collect_dataset(cfg, engine, dataset, gt, self.store_dir,
+                                dagger_it, self.rank, self.world_size,
+                                workers=self.env_workers, log_fn=self._log)
+
+            loader = ReplayLoader(
+                self.store_dir, cfg.DAGGER.BATCH_SIZE, rank=self.rank,
+                world_size=self.world_size, max_len=cfg.ep_max_len,
+                seed=dagger_it)
+            for epoch in range(start_epoch, cfg.DAGGER.EPOCHS):
+                t0 = time.time()
+                n_batches = 0
+                for batch in loader:
+                    sbatch = shard_batch(self.mesh, {
+                        "obs": batch["obs"],
+                        "weights": batch["weights"],
+                        "not_done_masks": batch["not_done_masks"],
+                    })
+                    state, metrics = jit_update(state, sbatch)
+                    n_batches += 1
+                    step_id += 1
+                    if tb and step_id % cfg.LOG_INTERVAL == 0:
+                        for k in ("loss", "action_loss", "aux_loss"):
+                            tb.add_scalar(
+                                f"train_{k}_iter_{dagger_it}",
+                                float(metrics[k]), step_id)
+                metrics = {k: float(v) for k, v in metrics.items()} if metrics else {}
+                self._log(
+                    f"dagger_it {dagger_it} epoch {epoch}: {n_batches} batches "
+                    f"in {time.time()-t0:.1f}s " +
+                    " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+                if self.rank == 0:
+                    idx = dagger_it * cfg.DAGGER.EPOCHS + epoch
+                    ckpt_lib.save_checkpoint(
+                        os.path.join(cfg.CHECKPOINT_FOLDER, f"ckpt.{idx}.pth"),
+                        {"params": jax.device_get(state.params),
+                         "batch_stats": jax.device_get(state.batch_stats)},
+                        config=cfg,
+                        extra_state={"dagger_it": dagger_it},
+                    )
+            start_epoch = 0
+        return metrics
+
+    # -- eval ---------------------------------------------------------------
+    def eval(self, checkpoint_path: Optional[str] = None) -> Dict[str, float]:
+        cfg = self.config
+        split = cfg.EVAL.SPLIT
+        eval_cfg = cfg.clone()
+        eval_cfg.defrost()
+        eval_cfg.TASK_CONFIG.DATASET.SPLIT = split
+        eval_cfg.TASK_CONFIG.ENVIRONMENT.ITERATOR_OPTIONS.SHUFFLE = False
+        eval_cfg.NUM_PROCESSES = min(cfg.NUM_PROCESSES, 11)
+        eval_cfg.freeze()
+
+        variables = self.init_variables()
+        path = checkpoint_path or cfg.EVAL_CKPT_PATH_DIR
+        if os.path.isdir(path):
+            path = ckpt_lib.latest_checkpoint(path)
+        ckpt_index = 0
+        if path and os.path.exists(path):
+            variables, blob = ckpt_lib.restore_variables(variables, path)
+            self._log(f"evaluating {path}")
+            import re
+            m = re.search(r"ckpt\.(\d+)\.pth$", path)
+            ckpt_index = int(m.group(1)) if m else 0
+
+        dataset, gt = load_split(eval_cfg, split)
+        engine = RolloutEngine(self.policy, variables, eval_cfg.NUM_PROCESSES)
+        metric_dir = getattr(cfg, "METRIC_DIR", None)
+        return evaluate(
+            eval_cfg, engine, dataset, gt,
+            episode_count=cfg.EVAL.EPISODE_COUNT,
+            workers=self.env_workers, log_fn=self._log,
+            metric_dir=metric_dir, checkpoint_index=ckpt_index, split=split)
