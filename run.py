@@ -77,7 +77,7 @@ def run_exp(exp_config: str, run_type: str, model_dir: Optional[str],
     elif run_type == "eval":
         trainer.eval()
     elif run_type == "inference":
-        trainer.eval()  # leaderboard inference shares the rollout loop
+        trainer.inference()
 
 
 if __name__ == "__main__":

@@ -147,3 +147,26 @@ def test_vector_env_worker_processes(config, dataset):
     eps = envs.current_episodes()
     assert eps[0].episode_id is not None
     envs.close()
+
+
+def test_env_with_ddppo_controller(config, dataset):
+    """Eval-mode env with the DD-PPO local controller in the loop
+    (random weights; exercises the waypoint->(rho,phi)->discrete path)."""
+    from ws_mgmap_tpu.env.dataset import fake_gt_locations
+    cfg = config.clone()
+    cfg.defrost()
+    cfg.use_ddppo = True
+    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 30
+    env = VLNCEDaggerEnv(cfg, dataset, fake_gt_locations(dataset),
+                         auto_reset_done=False, seed=0)
+    obs = env.reset()
+    for step in range(28):
+        obs, _, done, info = env.step({
+            "action": np.arctanh(np.clip(obs["waypoint"], -0.99, 0.99)),
+            "prog": -1,
+            "epidsode_reset_flag": step == 0,
+            "depth_img": obs["depth"],
+        })
+        if done:
+            break
+    assert env._elapsed_steps > 24

@@ -276,6 +276,11 @@ _C.MODEL.RGBMAPPING.resolution = 0.12
 _C.MODEL.RGBMAPPING.gpu_id = 0
 _C.MODEL.RGBMAPPING.num_proc = 1
 
+# eval-time local controller weights (`action_maker.py:60`)
+_C.DDPPO_CONTROLLER_CKPT = (
+    "data/pretrain_model/ddppo-models/"
+    "gibson-4plus-mp3d-train-val-test-resnet50.pth")
+
 _C.STOP_CONDITION = CN()
 _C.STOP_CONDITION.TYPE = "prog"
 _C.STOP_CONDITION.PROG_THRESHOLD = 0.8

@@ -104,6 +104,8 @@ class VLNCEDaggerEnv:
 
         ego = config.ego_map_size
         if self.use_ddppo:
+            if controller is None:
+                controller = self._build_controller(config)
             self.action_maker = DDPPOActionMaker(ego, controller=controller)
         else:
             self.action_maker = GTMapActionMaker(ego)
@@ -114,6 +116,22 @@ class VLNCEDaggerEnv:
         self._elapsed_steps = 0
         self.episode_over = False
         self._stop_called = False
+
+    @staticmethod
+    def _build_controller(config):
+        """Lazy DD-PPO local-controller construction; CPU-pinned inside env
+        workers so workers never claim the accelerator."""
+        import os
+        if os.environ.get("WS_MGMAP_ENV_WORKER"):
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+        from ws_mgmap_tpu.models.ddppo_policy import DdppoController
+
+        path = getattr(config, "DDPPO_CONTROLLER_CKPT", "")
+        if path and os.path.exists(path):
+            return DdppoController.from_torch_checkpoint(path)
+        print("[env] DD-PPO controller ckpt missing; using random init")
+        return DdppoController()
 
     # -- core API ----------------------------------------------------------
     def current_episode(self) -> Episode:

@@ -18,6 +18,8 @@ STEP, RESET, CLOSE, CALL, EPISODE, COUNT_EPISODES = (
 
 
 def _worker(pipe, env_fn, env_args):
+    import os
+    os.environ["WS_MGMAP_ENV_WORKER"] = "1"
     env = env_fn(*env_args)
     try:
         while True:

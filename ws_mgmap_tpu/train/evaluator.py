@@ -35,6 +35,11 @@ def evaluate(
     n0 = envs.num_envs
     engine.reset_state(n0)
 
+    video_on = bool(config.VIDEO_OPTION)
+    video_frames: List[List[np.ndarray]] = [[] for _ in range(n0)]
+    videos_written = 0
+    last_att = last_pred = None
+
     observations = envs.reset()
     batch = engine.batch_obs(observations)
     masks = np.zeros((n0, 1), np.float32)
@@ -49,6 +54,9 @@ def evaluate(
         if count_step % config.step_num == 0 and count_step >= 24:
             out = engine.act(batch, masks, deterministic=True)
             actions = np.asarray(out.action)
+            if video_on:
+                last_att = np.asarray(out.att_map)
+                last_pred = np.asarray(out.pred_sem_map)
         else:
             engine.update_map(batch, masks)
         if count_step < 24:
@@ -73,9 +81,34 @@ def evaluate(
         count_step += 1
         masks = np.array([[0.0] if d else [1.0] for d in dones], np.float32)
 
+        if video_on and videos_written < getattr(config, "VIDEO_NUM", 99999):
+            from ws_mgmap_tpu.env.viz import (
+                append_text_to_image, generate_video, observations_to_image)
+            for i in range(envs.num_envs):
+                frame = observations_to_image(
+                    observations[i],
+                    att_map=None if last_att is None else last_att[i],
+                    pred_sem_map=None if last_pred is None else last_pred[i],
+                )
+                frame = append_text_to_image(
+                    frame, current_episodes[i].instruction.get(
+                        "instruction_text", ""))
+                video_frames[i % len(video_frames)].append(frame)
+
         for i in range(envs.num_envs):
             if dones[i]:
                 stats_episodes[current_episodes[i].episode_id] = infos[i]
+                if video_on and videos_written < getattr(config, "VIDEO_NUM",
+                                                         99999):
+                    from ws_mgmap_tpu.env.viz import generate_video
+                    slot = i % len(video_frames)
+                    generate_video(
+                        config.VIDEO_DIR, video_frames[slot],
+                        episode_id=current_episodes[i].episode_id,
+                        checkpoint_idx=checkpoint_index,
+                        metrics={"spl": infos[i].get("spl", 0.0)})
+                    video_frames[slot] = []
+                    videos_written += 1
 
         if all(dones):
             # resume + full state reset (`common_trainer.py:412-437`)

@@ -221,6 +221,77 @@ class DaggerTrainer:
             start_epoch = 0
         return metrics
 
+    # -- inference (leaderboard) ----------------------------------------------
+    def inference(self, checkpoint_path: Optional[str] = None) -> str:
+        """Leaderboard trajectory dump. The reference stubs this out
+        (`common_trainer.py:534-535`); we record the VLNCEInferenceEnv
+        per-step info stream into INFERENCE.PREDICTIONS_FILE."""
+        import json
+
+        from ws_mgmap_tpu.env.environments import VLNCEInferenceEnv
+        from ws_mgmap_tpu.env.vector_env import construct_envs
+
+        cfg = self.config.clone()
+        cfg.defrost()
+        split = cfg.INFERENCE.SPLIT
+        cfg.TASK_CONFIG.DATASET.SPLIT = split
+        cfg.TASK_CONFIG.ENVIRONMENT.ITERATOR_OPTIONS.SHUFFLE = False
+        cfg.NUM_PROCESSES = 1
+        cfg.freeze()
+
+        variables = self.init_variables()
+        path = checkpoint_path or cfg.INFERENCE.CKPT_PATH
+        if path and os.path.exists(path):
+            variables, _ = ckpt_lib.restore_variables(variables, path)
+
+        dataset, gt = load_split(cfg, split)
+        engine = RolloutEngine(self.policy, variables, 1)
+        envs = construct_envs(cfg, dataset, gt, auto_reset_done=False,
+                              workers=self.env_workers,
+                              env_cls=VLNCEInferenceEnv)
+        predictions: Dict[str, Any] = {}
+        total = min(len(dataset.episodes), cfg.EVAL.EPISODE_COUNT)
+        while len(predictions) < total:
+            obs = envs.reset()
+            engine.reset_state(1)
+            ep_id = envs.current_episodes()[0].episode_id
+            if ep_id in predictions:
+                break
+            batch = engine.batch_obs(obs)
+            masks = np.zeros((1, 1), np.float32)
+            trajectory = []
+            count_step = 0
+            done = False
+            while not done:
+                if count_step % cfg.step_num == 0 and count_step >= 24:
+                    out = engine.act(batch, masks)
+                    actions = np.asarray(out.action)
+                else:
+                    engine.update_map(batch, masks)
+                if count_step < 24:
+                    actions = np.stack([np.asarray(
+                        o["waypoint"], np.float32)[:2] for o in obs])
+                prog = float(engine.prog[0, 0]) if count_step >= 24 else -1
+                outputs = envs.step([{
+                    "action": actions[0], "prog": prog,
+                    "epidsode_reset_flag": count_step == 0,
+                    "depth_img": obs[0]["depth"],
+                }])
+                obs = [outputs[0][0]]
+                done = outputs[0][2]
+                trajectory.append(outputs[0][3])
+                count_step += 1
+                masks = np.array([[0.0] if done else [1.0]], np.float32)
+                batch = engine.batch_obs(obs)
+            predictions[ep_id] = trajectory
+        envs.close()
+        out_path = cfg.INFERENCE.PREDICTIONS_FILE
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(predictions, f)
+        self._log(f"wrote {len(predictions)} trajectories to {out_path}")
+        return out_path
+
     # -- eval ---------------------------------------------------------------
     def eval(self, checkpoint_path: Optional[str] = None) -> Dict[str, float]:
         cfg = self.config
