@@ -330,6 +330,10 @@ def refine_config(config: CN, local_rank: int = 0) -> CN:
 
     if config.DAGGER.P == 1.0:
         config.TASK_CONFIG.ENVIRONMENT.ITERATOR_OPTIONS.MAX_SCENE_REPEAT_STEPS = -1
+    if config.same_level_train:
+        config.TASK_CONFIG.DATASET.DATA_PATH = (
+            "data/datasets/R2R_VLNCE_v1-2_preprocessed/train/"
+            "train_same_level.json.gz")
     if "aug" in str(config.BASE_TASK_CONFIG_PATH):
         config.TASK_CONFIG.TASK.GT_SEMANTIC_MAP_SENSOR.SPLIT = "train_aug"
     config.freeze()

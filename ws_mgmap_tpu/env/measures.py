@@ -237,6 +237,23 @@ class SDTW(NDTW):
         self._metric = self._metric * float(success)
 
 
+class Collisions(Measure):
+    """habitat-lab Collisions measure (enabled for eval videos at
+    `common_trainer.py:277`): {count, is_collision}."""
+
+    uuid = "collisions"
+
+    def reset_metric(self, sim, episode):
+        self._metric = {"count": 0, "is_collision": False}
+
+    def update_metric(self, sim, episode, action, stop_called):
+        collided = bool(getattr(sim, "last_collided", False))
+        self._metric = {
+            "count": self._metric["count"] + int(collided),
+            "is_collision": collided,
+        }
+
+
 def default_measures(gt_locations: Dict[str, Any],
                      success_distance: float = 3.0) -> List[Measure]:
     """The suite enabled by `vlnce_task.yaml:38-46` (+ oracle extras)."""

@@ -189,6 +189,7 @@ class FakeSim:
         self._pos = np.zeros(3)
         self._yaw = 0.0
         self.record_heading = 0.0  # HeadingSensor side channel (`sensors.py:449`)
+        self.last_collided = False  # feeds the Collisions measure
 
     # -- state ---------------------------------------------------------------
     def reset_agent(self, position, rotation) -> None:
@@ -202,6 +203,7 @@ class FakeSim:
         return np.array([-math.sin(self._yaw), 0.0, -math.cos(self._yaw)])
 
     def step(self, action: int) -> None:
+        self.last_collided = False
         if action == MOVE_FORWARD:
             target = self._pos + self.forward_step * self.forward_vector()
             # segment collision check at half-cell resolution
@@ -214,6 +216,8 @@ class FakeSim:
                     break
             if ok:
                 self._pos = target
+            else:
+                self.last_collided = True
         elif action == TURN_LEFT:
             self._yaw += math.radians(self.turn_angle_deg)
         elif action == TURN_RIGHT:

@@ -97,6 +97,10 @@ def collect_dataset(
                             envs_to_pause.append(i)
                         else:
                             ep_ids_collected.add(eid)
+                            # dedup log (`dagger_trainer.py:400-406`)
+                            with open(os.path.join(
+                                    store_dir, "collected_ep.txt"), "a") as fp:
+                                fp.write(f"{eid}\n")
                 episodes[i] = []
                 step_counts[i] = 0
                 dones[i] = False

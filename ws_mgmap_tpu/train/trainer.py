@@ -117,6 +117,17 @@ class DaggerTrainer:
                     sd["net.depth_encoder." + ".".join(parts)] = v
             variables, _, _ = import_torch_state(variables, sd)
             self._log(f"loaded DD-PPO depth weights from {ddppo_path}")
+        emb_path = cfg.MODEL.INSTRUCTION_ENCODER.embedding_file
+        if (cfg.MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings
+                and os.path.exists(emb_path)):
+            from ws_mgmap_tpu.models.instruction_encoder import (
+                load_pretrained_embeddings)
+            emb = load_pretrained_embeddings(emb_path)
+            tgt = variables["params"]["net"]["instruction_encoder"][
+                "embedding_layer"]
+            if tuple(emb.shape) == tuple(tgt["embedding"].shape):
+                tgt["embedding"] = emb
+                self._log(f"loaded instruction embeddings from {emb_path}")
         if cfg.DAGGER.LOAD_FROM_CKPT and os.path.exists(cfg.DAGGER.CKPT_TO_LOAD):
             variables, _ = ckpt_lib.restore_variables(
                 variables, cfg.DAGGER.CKPT_TO_LOAD)
@@ -218,8 +229,43 @@ class DaggerTrainer:
                         config=cfg,
                         extra_state={"dagger_it": dagger_it},
                     )
+                # long stage-1 runs eval every 3rd epoch
+                # (`dagger_trainer.py:644-655`)
+                if (cfg.DAGGER.EPOCHS > 10 and epoch % 3 == 0
+                        and self.rank == 0):
+                    self._eval_while_training(state, tb, step=epoch)
+            # end-of-iteration eval (`dagger_trainer.py:660-666`)
+            if self.rank == 0 and cfg.DAGGER.ITERATIONS > 1:
+                self._eval_while_training(state, tb, step=dagger_it)
             start_epoch = 0
         return metrics
+
+    def _eval_while_training(self, state, tb, step: int) -> None:
+        """Rollout eval on the reduced validation split during training
+        (`dagger_trainer.py:644-666`, `common_trainer.py:269-271`)."""
+        cfg = self.config
+        eval_cfg = cfg.clone()
+        eval_cfg.defrost()
+        eval_cfg.TASK_CONFIG.DATASET.SPLIT = "val_unseen_min"
+        eval_cfg.TASK_CONFIG.ENVIRONMENT.ITERATOR_OPTIONS.SHUFFLE = False
+        eval_cfg.NUM_PROCESSES = min(cfg.NUM_PROCESSES, 4)
+        eval_cfg.freeze()
+        try:
+            dataset, gt = load_split(eval_cfg, "val_unseen_min")
+            engine = RolloutEngine(
+                self.policy,
+                {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)},
+                eval_cfg.NUM_PROCESSES)
+            agg = evaluate(eval_cfg, engine, dataset, gt,
+                           episode_count=min(len(dataset.episodes), 8),
+                           workers=self.env_workers, log_fn=self._log)
+            if tb:
+                for k, v in agg.items():
+                    if np.isfinite(v):
+                        tb.add_scalar(f"eval_while_training_{k}", v, step)
+        except Exception as e:  # eval must never kill a training run
+            self._log(f"eval-while-training failed: {e}")
 
     # -- inference (leaderboard) ----------------------------------------------
     def inference(self, checkpoint_path: Optional[str] = None) -> str:
