@@ -48,45 +48,68 @@ def main():
     masks = jnp.ones((BATCH, 1))
     gmap = init_global_map(BATCH, cfg.mapper)
 
-    variables = policy.init(jax.random.PRNGKey(0), obs, hidden, masks, gmap,
-                            method=BasePolicy.act)
+    # jit the init: eager tracing through a remote-execution runtime pays an
+    # RPC per op (~7 minutes); compiled it's one launch.
+    init_fn = jax.jit(lambda key: policy.init(
+        key, obs, hidden, masks, gmap, method=BasePolicy.act))
+    variables = init_fn(jax.random.PRNGKey(0))
 
     import functools
 
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    def update_map(variables, obs, gmap, masks):
-        return policy.apply(variables, obs, masks, gmap,
-                            method=BasePolicy.update_map)
-
-    @functools.partial(jax.jit, donate_argnums=(3,))
-    def act(variables, obs, hidden, gmap, masks):
-        out = policy.apply(variables, obs, hidden, masks, gmap, True,
-                           method=BasePolicy.act)
-        return out.action, out.hidden, out.prog, out.global_map
+    from jax import lax
 
     def host_sync(x):
         # a host transfer is the only completion signal that cannot be
         # acknowledged early by an async runtime/relay
-        return float(np.asarray(jnp.sum(x[..., :1])))
+        return float(np.asarray(jnp.sum(x[..., :1, :1])))
 
-    # -- map-update throughput ------------------------------------------------
-    ego, gmap = update_map(variables, obs, gmap, masks)  # compile
-    host_sync(ego)
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        # steps are data-dependent through the donated global map
-        ego, gmap = update_map(variables, obs, gmap, masks)
-    host_sync(ego)
-    map_fps = BATCH * STEPS / (time.perf_counter() - t0)
+    # The K-step rollout loop runs INSIDE one jit (data-dependent through
+    # the carried global map / hidden state), so per-launch RPC/runtime
+    # overhead is amortized exactly like a production pipelined rollout;
+    # throughput = B*(K2-K1) / (t(K2) - t(K1)).
+    @jax.jit
+    def update_map_n(variables, obs, gmap, masks, steps):
+        def body(i, gm):
+            o = dict(obs, compass=obs["compass"] + 0.05 * i)
+            _, gm = policy.apply(variables, o, masks, gm,
+                                 method=BasePolicy.update_map)
+            return gm
+        return lax.fori_loop(0, steps, body, gmap)
 
-    # -- full policy step throughput ------------------------------------------
-    action, hidden, prog, gmap = act(variables, obs, hidden, gmap, masks)
-    host_sync(action)
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        action, hidden, prog, gmap = act(variables, obs, hidden, gmap, masks)
-    host_sync(action)
-    act_fps = BATCH * STEPS / (time.perf_counter() - t0)
+    @jax.jit
+    def act_n(variables, obs, hidden, gmap, masks, steps):
+        def body(i, carry):
+            h, gm, acc = carry
+            o = dict(obs, compass=obs["compass"] + 0.05 * i)
+            out = policy.apply(variables, o, h, masks, gm, True,
+                               method=BasePolicy.act)
+            return out.hidden, out.global_map, acc + out.action
+        return lax.fori_loop(0, steps, body,
+                             (hidden, gmap, jnp.zeros((BATCH, 2))))
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        out = fn()
+        host_sync(out if isinstance(out, jnp.ndarray) else out[-1])
+        return time.perf_counter() - t0
+
+    k1, k2 = jnp.int32(2), jnp.int32(2 + STEPS)
+    # compile both step counts, then measure
+    timed(lambda: update_map_n(variables, obs, gmap, masks, k1))
+    timed(lambda: update_map_n(variables, obs, gmap, masks, k2))
+    t_short = min(timed(lambda: update_map_n(variables, obs, gmap, masks, k1))
+                  for _ in range(2))
+    t_long = min(timed(lambda: update_map_n(variables, obs, gmap, masks, k2))
+                 for _ in range(2))
+    map_fps = BATCH * STEPS / max(t_long - t_short, 1e-6)
+
+    timed(lambda: act_n(variables, obs, hidden, gmap, masks, k1))
+    timed(lambda: act_n(variables, obs, hidden, gmap, masks, k2))
+    t_short = min(timed(lambda: act_n(variables, obs, hidden, gmap, masks, k1))
+                  for _ in range(2))
+    t_long = min(timed(lambda: act_n(variables, obs, hidden, gmap, masks, k2))
+                 for _ in range(2))
+    act_fps = BATCH * STEPS / max(t_long - t_short, 1e-6)
 
     print(json.dumps({
         "metric": "map_update_frames_per_sec_per_chip",

@@ -127,6 +127,22 @@ def oracle_action_sensor(sim, episode, ctx) -> np.ndarray:
     return np.array([action], np.float32)
 
 
+class ShortestPathFollower:
+    """Class surface of the reference's `ShortestPathFollowerCompat`
+    (`habitat_extensions/shortest_path_follower.py:25-187`): greedy geodesic
+    follower with a mode attribute and `get_next_action`."""
+
+    def __init__(self, sim, goal_radius: float = 0.5,
+                 return_one_hot: bool = False):
+        assert not return_one_hot
+        self._sim = sim
+        self._goal_radius = goal_radius
+        self.mode = "geodesic_path"
+
+    def get_next_action(self, goal_pos) -> Optional[int]:
+        return greedy_follower_action(self._sim, goal_pos, self._goal_radius)
+
+
 def greedy_follower_action(sim, goal, goal_radius: float = 0.5) -> int:
     """Geodesic greedy follower (ShortestPathFollowerCompat-equivalent,
     `habitat_extensions/shortest_path_follower.py:25-187`): steer toward

@@ -111,7 +111,7 @@ class ReplayLoader:
         per = len(self.reader) // self.world_size
         return per // self.batch_size if self.drop_last else -(-per // self.batch_size)
 
-    def __iter__(self) -> Iterator[Dict[str, Any]]:
+    def _batches(self) -> Iterator[Dict[str, Any]]:
         rng = random.Random(self.seed + self._epoch)
         self._epoch += 1
         per = len(self.reader) // self.world_size
@@ -127,6 +127,32 @@ class ReplayLoader:
             # block IS the batch, so sorting only stabilizes padding waste.
             eps.sort(key=lambda e: e["prev_actions"].shape[0])
             yield collate_episodes(eps, self.max_len)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        """Background-thread prefetch (the reference's 4 DataLoader workers,
+        `dagger_trainer.py:585-594`): decode/collate of batch k+1 overlaps
+        the device step on batch k."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        sentinel = object()
+
+        def producer():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
 
 
 def collate_episodes(episodes: Sequence[Dict[str, Any]],
