@@ -70,7 +70,10 @@ def main():
     @jax.jit
     def update_map_n(variables, obs, gmap, masks, steps):
         def body(i, gm):
-            o = dict(obs, compass=obs["compass"] + 0.05 * i)
+            # perturb rgb/depth too so XLA cannot hoist the encoders out
+            o = dict(obs, compass=obs["compass"] + 0.05 * i,
+                     rgb=obs["rgb"] + 0.01 * i,
+                     depth=obs["depth"] + 1e-4 * i)
             _, gm = policy.apply(variables, o, masks, gm,
                                  method=BasePolicy.update_map)
             return gm
@@ -80,7 +83,9 @@ def main():
     def act_n(variables, obs, hidden, gmap, masks, steps):
         def body(i, carry):
             h, gm, acc = carry
-            o = dict(obs, compass=obs["compass"] + 0.05 * i)
+            o = dict(obs, compass=obs["compass"] + 0.05 * i,
+                     rgb=obs["rgb"] + 0.01 * i,
+                     depth=obs["depth"] + 1e-4 * i)
             out = policy.apply(variables, o, h, masks, gm, True,
                                method=BasePolicy.act)
             return out.hidden, out.global_map, acc + out.action

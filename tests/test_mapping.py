@@ -92,7 +92,13 @@ def torch_register(global_map_nhwc, proj_nchw, gps, compass, masks):
 
 def test_register_and_retrieve_parity():
     bs = 3
-    global_map = RNG.randn(bs, P.global_size, P.global_size, P.map_depth).astype(np.float32)
+    # The persistent map is >= 0 by construction (starts at zero, max-fused
+    # with zero-padded warps every step — the reference clamps negatives
+    # implicitly at `rgb_mapping.py:55-56`); the windowed formulation
+    # relies on that invariant, so the synthetic state must respect it.
+    global_map = np.abs(
+        RNG.randn(bs, P.global_size, P.global_size, P.map_depth)
+    ).astype(np.float32)
     proj = RNG.randn(bs, P.ego_size, P.ego_size, P.map_depth).astype(np.float32)
     gps = RNG.uniform(-1.0, 1.0, size=(bs, 2)).astype(np.float32)
     compass = RNG.uniform(-np.pi, np.pi, size=(bs, 1)).astype(np.float32)
@@ -143,3 +149,35 @@ def test_rgb_mapping_step_shapes():
     ego, gm2 = mapping.rgb_mapping_step(gm, feat, depth, gps, compass, masks, p)
     assert ego.shape == (bs, 10, 10, 6)
     assert gm2.shape == gm.shape
+
+
+def test_windowed_equals_reference_chain():
+    """The integer-offset window formulation must match the literal warp
+    chain, including at map edges where content clips."""
+    import jax.numpy as jnp
+    bs = 4
+    p = mapping.MapperParams(resolution=0.12, ego_size=10, global_size=24,
+                             map_depth=6)
+    global_map = np.abs(RNG.randn(bs, 24, 24, 6)).astype(np.float32)
+    proj = RNG.randn(bs, 10, 10, 6).astype(np.float32)
+    # sample 0 centered; samples 1-3 near/over the map edges
+    gps = np.array([
+        [0.0, 0.0],
+        [1.3, -1.2],
+        [-1.4, 1.35],   # near corner
+        [1.44, 1.44],   # at the boundary
+    ], np.float32)
+    compass = RNG.uniform(-np.pi, np.pi, (bs, 1)).astype(np.float32)
+    masks = np.ones((bs, 1), np.float32)
+
+    ego_a, glob_a = mapping.register_and_retrieve(
+        jnp.asarray(global_map), jnp.asarray(proj), jnp.asarray(gps),
+        jnp.asarray(compass), jnp.asarray(masks), p)
+    ego_b, glob_b = mapping.register_and_retrieve_reference(
+        jnp.asarray(global_map), jnp.asarray(proj), jnp.asarray(gps),
+        jnp.asarray(compass), jnp.asarray(masks), p)
+
+    np.testing.assert_allclose(np.asarray(glob_a), np.asarray(glob_b),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ego_a), np.asarray(ego_b),
+                               atol=1e-5, rtol=1e-5)

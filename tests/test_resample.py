@@ -92,3 +92,29 @@ def test_translate_norm_matches_get_grid_chain():
         )
     )
     np.testing.assert_allclose(np.transpose(got, (0, 3, 1, 2)), want, atol=1e-5, rtol=1e-5)
+
+
+def test_translate_fast_matches_gather():
+    """Stencil fast path == gather path (both torch-parity)."""
+    import jax.numpy as jnp
+    img = rand_img(n=4, c=6, h=30, w=26)
+    pose = RNG.uniform(-1.2, 1.2, size=(4, 2)).astype(np.float32)
+    ref = np.asarray(resample.translate_norm(
+        jnp.asarray(to_nhwc(img)), jnp.asarray(pose[:, 0]), jnp.asarray(pose[:, 1])))
+    fast = np.asarray(resample.translate_norm_fast(
+        jnp.asarray(to_nhwc(img)), jnp.asarray(pose[:, 0]), jnp.asarray(pose[:, 1])))
+    np.testing.assert_allclose(fast, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_translate_fast_integer_and_edge_shifts():
+    import jax.numpy as jnp
+    img = rand_img(n=3, c=2, h=16, w=16)
+    # exact integer shifts, zero shift, and a shift pushing fully out
+    tx = np.array([0.0, 4 / 8.0, 2.5], np.float32)   # 0, +4px, fully out
+    ty = np.array([0.0, -2 / 8.0, 0.0], np.float32)  # 0, -2px
+    ref = np.asarray(resample.translate_norm(
+        jnp.asarray(to_nhwc(img)), jnp.asarray(tx), jnp.asarray(ty)))
+    fast = np.asarray(resample.translate_norm_fast(
+        jnp.asarray(to_nhwc(img)), jnp.asarray(tx), jnp.asarray(ty)))
+    np.testing.assert_allclose(fast, ref, atol=2e-4)
+    assert np.all(fast[2] == 0.0)  # fully out of range -> zeros

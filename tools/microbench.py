@@ -103,6 +103,11 @@ def main():
 
     bench("translate grid_sample (240^2x64)", warp_translate, gmap)
 
+    def warp_translate_fast(i, gm):
+        return resample.translate_norm_fast(gm, tx + 0.001 * i, tx)
+
+    bench("translate stencil-fast (240^2x64)", warp_translate_fast, gmap)
+
     ang = jnp.asarray(rng.uniform(-3, 3, B).astype(np.float32))
     ego = jnp.asarray(rng.rand(B, 100, 100, 64).astype(np.float32))
 
@@ -123,7 +128,16 @@ def main():
                                       masks, p_map)
         return gm
 
-    bench("register_and_retrieve chain", reg, gmap)
+    bench("register_and_retrieve windowed", reg, gmap)
+
+    from ws_mgmap_tpu.ops.mapping import register_and_retrieve_reference
+
+    def reg_ref(i, gm):
+        _, gm = register_and_retrieve_reference(gm, proj + 0.001 * i, gps,
+                                                compass, masks, p_map)
+        return gm
+
+    bench("register_and_retrieve warp-chain", reg_ref, gmap)
 
     # ---- UNet forward --------------------------------------------------------
     unet = UNet()

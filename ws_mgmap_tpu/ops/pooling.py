@@ -84,21 +84,37 @@ def interpolate_area_nhwc(x: Array, out_hw: tuple[int, int]) -> Array:
     return jnp.stack(rows, axis=1)
 
 
+import functools as _functools
+
+import numpy as _np
+
+
+@_functools.lru_cache(maxsize=None)
+def _upsample_x2_matrix(h: int) -> _np.ndarray:
+    """[2h, h] interpolation matrix for align_corners=True bilinear x2."""
+    oh = 2 * h
+    ys = _np.arange(oh, dtype=_np.float32) * _np.float32((h - 1) / (oh - 1))
+    y0 = _np.floor(ys).astype(_np.int64)
+    y1 = _np.minimum(y0 + 1, h - 1)
+    wy = ys - y0
+    u = _np.zeros((oh, h), _np.float32)
+    u[_np.arange(oh), y0] += 1.0 - wy
+    u[_np.arange(oh), y1] += wy
+    return u
+
+
 def upsample_bilinear_x2_nhwc(x: Array) -> Array:
     """`nn.Upsample(scale_factor=2, mode='bilinear', align_corners=True)`
     used throughout the reference UNet / MapDecoder (`unet_encoder.py:49`,
-    `map_encoder.py:84`), NHWC."""
+    `map_encoder.py:84`), NHWC.
+
+    Formulated as two static interpolation-matrix contractions (separable
+    bilinear) so it runs on the MXU instead of as an element gather.
+    """
     n, h, w, c = x.shape
-    oh, ow = 2 * h, 2 * w
-    # align_corners=True: src = dst * (in-1)/(out-1)
-    ys = jnp.arange(oh, dtype=jnp.float32) * ((h - 1) / (oh - 1))
-    xs = jnp.arange(ow, dtype=jnp.float32) * ((w - 1) / (ow - 1))
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    wy = (ys - y0)[None, :, None, None]
-    wx = (xs - x0)[None, None, :, None]
-    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
-    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
-    return top * (1 - wy) + bot * wy
+    uh = jnp.asarray(_upsample_x2_matrix(h))
+    uw = jnp.asarray(_upsample_x2_matrix(w))
+    out = jnp.einsum("oh,bhwc->bowc", uh, x,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("ow,bhwc->bhoc", uw, out,
+                      precision=jax.lax.Precision.HIGHEST)

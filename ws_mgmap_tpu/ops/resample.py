@@ -174,6 +174,59 @@ def rotate_about_center(img: Array, angle: Array, mode: str = "bilinear",
 @functools.partial(jax.jit, static_argnames=("mode", "align_corners"))
 def translate_norm(img: Array, tx: Array, ty: Array, mode: str = "bilinear",
                    align_corners: bool = False) -> Array:
-    """Translate by (tx, ty) in normalized output coords (NHWC)."""
+    """Translate by (tx, ty) in normalized output coords (NHWC).
+
+    General gather-based reference implementation; the hot path uses
+    :func:`translate_norm_fast` (identical math, stencil formulation).
+    """
     return affine_warp(img, translation_theta(tx, ty), mode=mode,
                        align_corners=align_corners)
+
+
+@jax.jit
+def translate_norm_fast(img: Array, tx: Array, ty: Array) -> Array:
+    """Bilinear translation as a 4-tap stencil (TPU fast path).
+
+    A pure translation under ``align_corners=False`` samples at
+    ``ix = x + tx*W/2`` — an integer shift plus one constant fractional
+    weight per sample. Instead of a 2-D element gather (measured 19 ms for
+    [6,240,240,64] on v5e), do a per-sample row/col roll (contiguous-row
+    dynamic slices) + constant-weight lerp + out-of-range masking.
+    Matches :func:`translate_norm` to fp32 rounding of the coordinate math.
+    """
+    b, h, w, c = img.shape
+    dx = jnp.asarray(tx, jnp.float32).reshape(-1) * (w / 2.0)
+    dy = jnp.asarray(ty, jnp.float32).reshape(-1) * (h / 2.0)
+    ix0 = jnp.floor(dx)
+    iy0 = jnp.floor(dy)
+    fx = (dx - ix0)[:, None, None, None]
+    fy = (dy - iy0)[:, None, None, None]
+    ix0 = ix0.astype(jnp.int32)
+    iy0 = iy0.astype(jnp.int32)
+
+    def one(im, sy, sx):
+        # r[y, x] = im[y + sy, x + sx] (wrapped; wrapped taps masked below)
+        return jnp.roll(im, shift=(-sy, -sx), axis=(0, 1))
+
+    base = jax.vmap(one)(img, iy0, ix0)
+    # single-step rolls: modular neighbors; every *valid* tap (per the masks
+    # below) is un-wrapped and therefore exact.
+    v00 = base
+    v01 = jnp.roll(base, -1, axis=2)
+    v10 = jnp.roll(base, -1, axis=1)
+    v11 = jnp.roll(v10, -1, axis=2)
+
+    ys = jnp.arange(h)[None, :, None, None]
+    xs = jnp.arange(w)[None, None, :, None]
+    sy = iy0[:, None, None, None]
+    sx = ix0[:, None, None, None]
+    vy0 = (ys + sy >= 0) & (ys + sy < h)
+    vy1 = (ys + sy + 1 >= 0) & (ys + sy + 1 < h)
+    vx0 = (xs + sx >= 0) & (xs + sx < w)
+    vx1 = (xs + sx + 1 >= 0) & (xs + sx + 1 < w)
+
+    top = jnp.where(vy0 & vx0, v00, 0.0) * (1.0 - fx) \
+        + jnp.where(vy0 & vx1, v01, 0.0) * fx
+    bot = jnp.where(vy1 & vx0, v10, 0.0) * (1.0 - fx) \
+        + jnp.where(vy1 & vx1, v11, 0.0) * fx
+    return top * (1.0 - fy) + bot * fy
