@@ -239,32 +239,41 @@ class FakeSim:
 
     # -- rendering ---------------------------------------------------------------
     def _raycast(self, n_cols: int, fov_deg: float = 90.0):
-        """2-D DDA raycast: per-column (z-depth m, semantic label)."""
+        """Vectorized 2-D ray march: per-column (z-depth m, semantic label).
+
+        All columns advance together in numpy; first blocked cell along each
+        ray wins (argmax over the hit mask).
+        """
         f = (n_cols / 2.0) / math.tan(math.radians(fov_deg / 2.0))
         cols = np.arange(n_cols) + 0.5 - n_cols / 2.0
         alphas = np.arctan(cols / f)
-        depths = np.empty(n_cols, np.float64)
-        labels = np.zeros(n_cols, np.int32)
-        cell = self.scene.spec.cell_m
+        ang = self._yaw - alphas  # camera x axis is to the right
+        dir_x = -np.sin(ang)
+        dir_z = -np.cos(ang)
+
+        scene = self.scene
+        cell = scene.spec.cell_m
+        half = scene.spec.extent_m / 2.0
         step = cell * 0.5
-        max_steps = int(self.max_depth_m / step)
-        for j, alpha in enumerate(alphas):
-            ang = self._yaw - alpha  # camera x axis is to the right
-            direction = np.array([-math.sin(ang), 0.0, -math.cos(ang)])
-            r = 0.0
-            hit = self.max_depth_m
-            lab = 0
-            p = self._pos.copy()
-            for _ in range(max_steps):
-                r += step
-                p = self._pos + direction * r
-                rc = self.scene.world_to_cell(p)
-                if self.scene.occ[rc]:
-                    hit = r
-                    lab = int(self.scene.sem[rc])
-                    break
-            depths[j] = hit * math.cos(alpha)  # perpendicular z-depth
-            labels[j] = lab
+        radii = (np.arange(1, int(self.max_depth_m / step) + 1) * step)
+
+        # sample points [n_steps, n_cols]
+        px = self._pos[0] + radii[:, None] * dir_x[None, :]
+        pz = self._pos[2] + radii[:, None] * dir_z[None, :]
+        rows = np.clip(((pz + half) / cell).astype(np.int64), 0, scene.n - 1)
+        colz = np.clip(((px + half) / cell).astype(np.int64), 0, scene.n - 1)
+        blocked = scene.occ[rows, colz]  # [n_steps, n_cols]
+
+        any_hit = blocked.any(axis=0)
+        first = np.argmax(blocked, axis=0)  # 0 when no hit; masked below
+        hit_r = np.where(any_hit, radii[first], self.max_depth_m)
+        labels = np.where(
+            any_hit,
+            scene.sem[rows[first, np.arange(n_cols)],
+                      colz[first, np.arange(n_cols)]],
+            0,
+        ).astype(np.int32)
+        depths = hit_r * np.cos(alphas)  # perpendicular z-depth
         return depths, labels
 
     def render(self) -> Dict[str, np.ndarray]:

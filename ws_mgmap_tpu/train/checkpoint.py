@@ -68,6 +68,24 @@ def restore_variables(
     return variables, blob
 
 
+def save_native(path: str, state: Any) -> None:
+    """Orbax save of the FULL train state (params + batch stats + optimizer
+    + step) — exact resume, which the reference cannot do (it reloads model
+    weights only and reinitializes Adam, `common_trainer.py:118-139`)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_native(path: str, template: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), template)
+
+
 def latest_checkpoint(folder: str) -> Optional[str]:
     """Newest ckpt by mtime (`common_trainer.py:125-127`)."""
     if not os.path.isdir(folder):
