@@ -107,3 +107,16 @@ def test_project_egocentric_runs():
     )
     assert out.shape == (2, EGO, EGO, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pallas_splat_backend_matches_xla():
+    """The Pallas splat backend (interpret mode on CPU) must equal the
+    segment_max path bit-for-bit."""
+    feats = RNG.randn(2, 21, 21, 5).astype(np.float32)
+    depth = (RNG.rand(2, 24, 24, 1) * 8).astype(np.float32)
+    x_gp, y_gp, valid = projection.spatial_locs(jnp.asarray(depth), EGO, SCALE)
+    a = projection.splat_to_ground(jnp.asarray(feats), x_gp, y_gp, valid, EGO,
+                                   backend="xla")
+    b = projection.splat_to_ground(jnp.asarray(feats), x_gp, y_gp, valid, EGO,
+                                   backend="pallas")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

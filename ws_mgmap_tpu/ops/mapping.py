@@ -43,6 +43,9 @@ class MapperParams(NamedTuple):
     global_size: int = 240
     map_depth: int = 64
     depth_scale: float = 10.0  # habitat depth in [0,1] x10 -> meters
+    # ground-splat implementation: "xla" (segment_max scatter) or "pallas"
+    # (VMEM-accumulator kernel with invalid-pixel skipping; see PERF.md)
+    splat_backend: str = "xla"
 
     @property
     def coordinate_min(self) -> float:
@@ -210,5 +213,6 @@ def rgb_mapping_step(
         -compass.reshape(-1),
         ego_size=p.ego_size,
         local_scale=p.grid_size,
+        backend=p.splat_backend,
     )
     return register_and_retrieve(global_map, ego_proj, gps, compass, masks, p)

@@ -88,6 +88,7 @@ def splat_to_ground(
     y_gp: Array,
     valid: Array,
     ego_size: int,
+    backend: str = "xla",
 ) -> Array:
     """Scatter-max per-pixel features onto the egocentric ground grid.
 
@@ -122,6 +123,13 @@ def splat_to_ground(
 
     num_cells = ego_size * ego_size
 
+    if backend == "pallas":
+        from ws_mgmap_tpu.ops.pallas.splat import splat_pallas
+
+        skip_ids = jnp.where(invalid, -1, y_gp * ego_size + x_gp)
+        return splat_pallas(masked.reshape(b, -1, c),
+                            skip_ids.reshape(b, -1), ego_size=ego_size)
+
     def one(feat_flat: Array, ids_flat: Array) -> Array:
         return jax.ops.segment_max(
             feat_flat, ids_flat, num_segments=num_cells,
@@ -136,13 +144,15 @@ def splat_to_ground(
     return out.reshape(b, ego_size, ego_size, c)
 
 
-@functools.partial(jax.jit, static_argnames=("ego_size", "local_scale"))
+@functools.partial(jax.jit,
+                   static_argnames=("ego_size", "local_scale", "backend"))
 def project_egocentric(
     feats: Array,
     depth_m: Array,
     heading: Array,
     ego_size: int = 100,
     local_scale: float = 0.12,
+    backend: str = "xla",
 ) -> Array:
     """Full per-frame projection: pinhole -> splat -> rotate to heading.
 
@@ -151,5 +161,5 @@ def project_egocentric(
     (`rgb_mapping.py:37`).
     """
     x_gp, y_gp, valid = spatial_locs(depth_m, ego_size, local_scale)
-    grid = splat_to_ground(feats, x_gp, y_gp, valid, ego_size)
+    grid = splat_to_ground(feats, x_gp, y_gp, valid, ego_size, backend)
     return rotate_about_center(grid, heading)
