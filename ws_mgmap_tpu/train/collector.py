@@ -35,11 +35,15 @@ def collect_dataset(
     workers: bool = True,
     rng: Optional[np.random.RandomState] = None,
     log_fn=print,
+    timers=None,
 ) -> int:
     """Top up the store to (data_it+1) * UPDATE_SIZE episodes; returns the
     number of episodes this rank appended."""
     rng = rng or np.random.RandomState(1000 + rank)
     os.makedirs(store_dir, exist_ok=True)
+    if timers is None:
+        from ws_mgmap_tpu.utils.profiling import StepTimers
+        timers = StepTimers()
 
     # DAgger beta schedule (`dagger_trainer.py:291-299`)
     p = config.DAGGER.P
@@ -130,14 +134,16 @@ def collect_dataset(
 
         # policy/map step (`dagger_trainer.py:430-445`)
         if count_step % config.step_num == 0:
-            out = engine.act(batch, masks, deterministic=True)
-            actions = np.asarray(out.action)
-            cache["rgb"] = np.asarray(out.rgb_features, np.float16)
-            cache["depth"] = np.asarray(out.depth_features, np.float16)
-            cache["ego"] = np.asarray(out.ego_map, np.float16)
+            with timers.span("collect/act"):
+                out = engine.act(batch, masks, deterministic=True)
+                actions = np.asarray(out.action)
+                cache["rgb"] = np.asarray(out.rgb_features, np.float16)
+                cache["depth"] = np.asarray(out.depth_features, np.float16)
+                cache["ego"] = np.asarray(out.ego_map, np.float16)
         else:
-            ego = engine.update_map(batch, masks)
-            cache["ego"] = np.asarray(ego, np.float16)
+            with timers.span("collect/update_map"):
+                ego = engine.update_map(batch, masks)
+                cache["ego"] = np.asarray(ego, np.float16)
             actions = prev_actions.copy()
         count_step += 1
 
@@ -169,12 +175,14 @@ def collect_dataset(
 
         step_inputs = [{"action": actions[i], "prog": -1}
                        for i in range(envs.num_envs)]
-        outputs = envs.step(step_inputs)
+        with timers.span("collect/env_step"):
+            outputs = envs.step(step_inputs)
         observations = [o[0] for o in outputs]
         dones = [o[2] for o in outputs]
         masks = np.array([[0.0] if d else [1.0] for d in dones], np.float32)
         prev_actions = actions
-        batch = engine.batch_obs(observations)
+        with timers.span("collect/batch_obs"):
+            batch = engine.batch_obs(observations)
 
     if pending_records:
         writer.append_batch(pending_records)
@@ -183,4 +191,5 @@ def collect_dataset(
     envs.close()
     log_fn(f"[collect] rank {rank}: appended {collected} episodes "
            f"(store total {store_count()})")
+    timers.report(log_fn)
     return collected

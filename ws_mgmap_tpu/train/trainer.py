@@ -77,9 +77,12 @@ class DaggerTrainer:
         self.writer = None
 
     # -- setup ---------------------------------------------------------------
-    def init_variables(self, seed: int = 0) -> Dict[str, Any]:
-        c = self.model_cfg
-        sim = self.config.TASK_CONFIG.SIMULATOR
+    def init_variables(self, seed: int = 0, policy=None,
+                       config=None) -> Dict[str, Any]:
+        policy = policy or self.policy
+        config = config or self.config
+        c = policy.cfg
+        sim = config.TASK_CONFIG.SIMULATOR
         obs = {
             "instruction": jnp.zeros((1, 200), jnp.int32),
             "rgb": jnp.zeros((1, sim.RGB_SENSOR.HEIGHT, sim.RGB_SENSOR.WIDTH, 3)),
@@ -88,7 +91,7 @@ class DaggerTrainer:
             "gps": jnp.zeros((1, 2)),
             "compass": jnp.zeros((1, 1)),
         }
-        variables = self.policy.init(
+        variables = policy.init(
             jax.random.PRNGKey(seed), obs, jnp.zeros((2, 1, c.hidden_size)),
             jnp.zeros((1, 1)), init_global_map(1, c.mapper),
             method=BasePolicy.act,
@@ -339,8 +342,58 @@ class DaggerTrainer:
         return out_path
 
     # -- eval ---------------------------------------------------------------
-    def eval(self, checkpoint_path: Optional[str] = None) -> Dict[str, float]:
+    def eval(self, checkpoint_path: Optional[str] = None,
+             poll: bool = False) -> Dict[str, float]:
+        """Single-checkpoint eval, or poll-the-folder mode
+        (`common_trainer.py:189-226`): with ``poll=True`` keep evaluating
+        checkpoints as they appear (ascending index), newest-first start."""
         cfg = self.config
+        path = checkpoint_path or cfg.EVAL_CKPT_PATH_DIR
+        if not poll or os.path.isfile(path):
+            return self._eval_one(path)
+
+        evaluated = set()
+        last: Dict[str, float] = {}
+        import time as _time
+        idle = 0
+        while idle < 30:  # stop after ~60s with nothing new
+            candidates = sorted(
+                f for f in os.listdir(path)
+                if f.endswith(".pth") and f not in evaluated)
+            if not candidates:
+                _time.sleep(2)
+                idle += 1
+                continue
+            idle = 0
+            for f in candidates:
+                evaluated.add(f)
+                last = self._eval_one(os.path.join(path, f))
+        return last
+
+    def _eval_one(self, path: Optional[str]) -> Dict[str, float]:
+        cfg = self.config
+        if path and os.path.isdir(path):
+            path = ckpt_lib.latest_checkpoint(path)
+
+        blob = None
+        ckpt_index = 0
+        if path and os.path.exists(path):
+            blob = ckpt_lib.load_checkpoint(path)
+            import re
+            m = re.search(r"ckpt\.(\d+)\.pth$", path)
+            ckpt_index = int(m.group(1)) if m else 0
+
+        # EVAL.USE_CKPT_CONFIG: rebuild the experiment config from the
+        # checkpoint (`common_trainer.py:245-248`)
+        if (blob is not None and cfg.EVAL.USE_CKPT_CONFIG
+                and isinstance(blob.get("config"), dict)):
+            from ws_mgmap_tpu.utils.config import Config
+            ck_cfg = Config(blob["config"])
+            ck_cfg.EVAL = cfg.EVAL
+            ck_cfg.EVAL_CKPT_PATH_DIR = cfg.EVAL_CKPT_PATH_DIR
+            ck_cfg.NUM_PROCESSES = cfg.NUM_PROCESSES
+            cfg = ck_cfg
+
         split = cfg.EVAL.SPLIT
         eval_cfg = cfg.clone()
         eval_cfg.defrost()
@@ -349,21 +402,21 @@ class DaggerTrainer:
         eval_cfg.NUM_PROCESSES = min(cfg.NUM_PROCESSES, 11)
         eval_cfg.freeze()
 
-        variables = self.init_variables()
-        path = checkpoint_path or cfg.EVAL_CKPT_PATH_DIR
-        if os.path.isdir(path):
-            path = ckpt_lib.latest_checkpoint(path)
-        ckpt_index = 0
-        if path and os.path.exists(path):
-            variables, blob = ckpt_lib.restore_variables(variables, path)
+        # the checkpoint's config may describe a different model size; build
+        # the policy for it (`common_trainer.py:289` rebuilds per-eval too)
+        model_cfg = MGMapConfig.from_config(eval_cfg.MODEL)
+        policy = self.policy if model_cfg == self.model_cfg else BasePolicy(model_cfg)
+        variables = self.init_variables(policy=policy, config=eval_cfg)
+        # random_agent: evaluate the untrained policy (`run.py` flag,
+        # `common_trainer.py:289` passes not random_agent as load flag)
+        if blob is not None and not self.config.random_agent:
+            from ws_mgmap_tpu.utils.convert import import_torch_state
+            variables, _, _ = import_torch_state(variables, blob["state_dict"])
             self._log(f"evaluating {path}")
-            import re
-            m = re.search(r"ckpt\.(\d+)\.pth$", path)
-            ckpt_index = int(m.group(1)) if m else 0
 
         dataset, gt = load_split(eval_cfg, split)
-        engine = RolloutEngine(self.policy, variables, eval_cfg.NUM_PROCESSES)
-        metric_dir = getattr(cfg, "METRIC_DIR", None)
+        engine = RolloutEngine(policy, variables, eval_cfg.NUM_PROCESSES)
+        metric_dir = getattr(self.config, "METRIC_DIR", None)
         return evaluate(
             eval_cfg, engine, dataset, gt,
             episode_count=cfg.EVAL.EPISODE_COUNT,
