@@ -54,8 +54,6 @@ def main():
         key, obs, hidden, masks, gmap, method=BasePolicy.act))
     variables = init_fn(jax.random.PRNGKey(0))
 
-    import functools
-
     from jax import lax
 
     def host_sync(x):

@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""End-to-end learning validation on FakeSim.
+
+Trains a reduced policy with teacher forcing on goal-encoding FakeSim
+episodes and compares eval metrics against the untrained policy — the
+empirical quality loop the reference relies on (SURVEY §4). Prints a JSON
+summary; exits nonzero if training fails to improve the action loss or the
+evaluated navigation metrics.
+
+Usage: python tools/learning_check.py [--episodes 32] [--epochs 20]
+"""
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def tiny_config(tmp_dir, episodes, epochs):
+    from ws_mgmap_tpu.config.default import get_config
+
+    cfg = get_config()
+    cfg.defrost()
+    cfg.NUM_PROCESSES = 4
+    cfg.DAGGER.ITERATIONS = 1
+    cfg.DAGGER.EPOCHS = epochs
+    cfg.DAGGER.UPDATE_SIZE = episodes
+    cfg.DAGGER.BATCH_SIZE = 4
+    cfg.DAGGER.P = 1.0
+    cfg.DAGGER.LR = 1e-3
+    cfg.DAGGER.LMDB_FEATURES_DIR = os.path.join(tmp_dir, "traj")
+    cfg.CHECKPOINT_FOLDER = os.path.join(tmp_dir, "ckpt")
+    cfg.TENSORBOARD_DIR = os.path.join(tmp_dir, "tb")
+    cfg.EVAL.SPLIT = "val_seen"
+    cfg.EVAL.EPISODE_COUNT = 10
+    cfg.EVAL.USE_CKPT_CONFIG = False
+    cfg.ep_max_len = 90
+    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 90
+    cfg.TASK_CONFIG.DATASET.FAKE_EPISODES = episodes
+    cfg.TASK_CONFIG.DATASET.FAKE_SCENES = 2
+    cfg.TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT = 64
+    cfg.TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH = 64
+    cfg.MODEL.RGBMAPPING.map_depth = 16
+    cfg.MODEL.RGBMAPPING.global_map_size = 48
+    cfg.MODEL.RGBMAPPING.egocentric_map_size = 20
+    cfg.MODEL.MAP_ENCODER.ego_map_size = 20
+    cfg.MODEL.MAP_ENCODER.output_size = 32
+    cfg.MODEL.RGB_ENCODER.output_size = 32
+    cfg.MODEL.DEPTH_ENCODER.output_size = 16
+    cfg.MODEL.STATE_ENCODER.hidden_size = 64
+    cfg.MODEL.INSTRUCTION_ENCODER.hidden_size = 16
+    cfg.freeze()
+    return cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--episodes", type=int, default=32)
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--platform", default="cpu")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from ws_mgmap_tpu.train.trainer import DaggerTrainer
+
+    tmp = tempfile.mkdtemp(prefix="learncheck_")
+    cfg = tiny_config(tmp, args.episodes, args.epochs)
+
+    # untrained baseline eval
+    t0 = DaggerTrainer(cfg, env_workers=False)
+    cfg0 = cfg.clone(); cfg0.defrost(); cfg0.random_agent = True; cfg0.freeze()
+    base = DaggerTrainer(cfg0, env_workers=False).eval()
+
+    # train
+    trainer = DaggerTrainer(cfg, env_workers=False)
+    metrics = trainer.train()
+
+    # trained eval
+    cfg2 = cfg.clone(); cfg2.defrost()
+    cfg2.EVAL_CKPT_PATH_DIR = cfg.CHECKPOINT_FOLDER
+    cfg2.freeze()
+    trained = DaggerTrainer(cfg2, env_workers=False).eval()
+
+    out = {
+        "train_final": metrics,
+        "eval_untrained": base,
+        "eval_trained": trained,
+    }
+    print(json.dumps(out, indent=2, default=float))
+
+    ok = (
+        metrics.get("action_loss", 1.0) < 0.45
+        and (trained.get("ndtw", 0) >= base.get("ndtw", 0)
+             or trained.get("distance_to_goal", 99) <= base.get("distance_to_goal", 99)
+             or trained.get("success", 0) > base.get("success", 0))
+    )
+    print("LEARNING CHECK:", "PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,8 +18,8 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
-from ws_mgmap_tpu.env.sim import FakeSim, get_scene
-from ws_mgmap_tpu.utils.geometry import quat_from_coeffs, quat_from_yaw
+from ws_mgmap_tpu.env.sim import get_scene
+from ws_mgmap_tpu.utils.geometry import quat_from_coeffs
 
 
 @dataclasses.dataclass
@@ -128,8 +128,17 @@ def make_fake_dataset(
             continue
         yaw = float(rng.uniform(-math.pi, math.pi))
         path = [p.tolist() for p in scene.shortest_path_points(start, goal)]
+        # Instructions carry real goal information (like language does):
+        # tokens 1-2 encode the start-relative goal bearing (16 bins) and
+        # distance (8 bins), the rest is random filler. This makes FakeSim
+        # a genuine learning testbed, not just a smoke harness.
+        rel = np.asarray(goal) - start
+        bearing = math.atan2(-rel[0], -rel[2]) - yaw
+        bearing_bin = int(((bearing + math.pi) % (2 * math.pi)) / (2 * math.pi) * 16)
+        dist_bin = min(int(d / 1.5), 7)
         n_tok = int(rng.randint(8, 24))
-        tokens = rng.randint(2, vocab_size, size=n_tok).tolist()
+        tokens = [2 + bearing_bin, 20 + dist_bin]
+        tokens += rng.randint(40, vocab_size, size=n_tok - 2).tolist()
         tokens += [0] * (max_instruction_len - n_tok)
         episodes.append(Episode(
             episode_id=str(eid),

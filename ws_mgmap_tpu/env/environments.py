@@ -10,8 +10,7 @@ control protocol — forced 24-step look-around spin
 """
 from __future__ import annotations
 
-import math
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 

@@ -14,7 +14,7 @@ a (tight) upper bound of the reference's number.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import numpy as np
 

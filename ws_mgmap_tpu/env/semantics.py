@@ -10,7 +10,7 @@ the GT semantic-map sensor (`habitat_extensions/sensors.py:362-410`).
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -11,8 +11,6 @@ from __future__ import annotations
 import multiprocessing as mp
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
-import numpy as np
-
 STEP, RESET, CLOSE, CALL, EPISODE, COUNT_EPISODES = (
     "step", "reset", "close", "call", "episode", "count_episodes")
 

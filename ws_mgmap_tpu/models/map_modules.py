@@ -7,8 +7,6 @@ paths for checkpoint conversion.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

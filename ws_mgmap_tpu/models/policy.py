@@ -20,16 +20,16 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ws_mgmap_tpu.models.depth_encoder import VlnResnetDepthEncoder
-from ws_mgmap_tpu.models.distributions import CriticHead, DiagGaussian, Normal2D
+from ws_mgmap_tpu.models.distributions import CriticHead, DiagGaussian
 from ws_mgmap_tpu.models.instruction_encoder import InstructionEncoder
-from ws_mgmap_tpu.models.layers import tconv, tdense, torch_bias_init, torch_dense_kernel_init
+from ws_mgmap_tpu.models.layers import tconv, tdense, torch_bias_init
 from ws_mgmap_tpu.models.map_modules import MapClassifier, MapDecoder, MapEncoder
 from ws_mgmap_tpu.models.rnn import gru_cell
 from ws_mgmap_tpu.models.unet import UNet

@@ -16,10 +16,9 @@ train-time state.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from ws_mgmap_tpu.models.layers import max_pool_3x3s2, tconv, tgn

@@ -13,7 +13,7 @@ and store top-up. TPU-first differences:
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional, Set
+from typing import List, Optional, Set
 
 import numpy as np
 

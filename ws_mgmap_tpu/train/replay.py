@@ -20,12 +20,7 @@ from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ws_mgmap_tpu.data.trajstore import (
-    TrajStoreReader,
-    TrajStoreWriter,
-    pack_record,
-    unpack_record,
-)
+from ws_mgmap_tpu.data.trajstore import TrajStoreReader, pack_record, unpack_record
 
 NARROW_DTYPES = {
     "vln_oracle_action_sensor": np.uint8,

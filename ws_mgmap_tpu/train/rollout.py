@@ -12,13 +12,13 @@ without the policy heads.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ws_mgmap_tpu.models.policy import BasePolicy, MGMapConfig
+from ws_mgmap_tpu.models.policy import BasePolicy
 from ws_mgmap_tpu.ops.mapping import init_global_map
 
 

@@ -14,7 +14,6 @@ them in the checkpoint.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, NamedTuple, Tuple
 
 import jax

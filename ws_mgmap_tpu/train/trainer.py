@@ -9,7 +9,6 @@ TensorBoard logging.
 """
 from __future__ import annotations
 
-import glob
 import os
 import time
 from typing import Any, Dict, Optional
