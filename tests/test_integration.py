@@ -74,3 +74,32 @@ def test_full_dagger_pipeline(tmp_path):
     for k in ("success", "spl", "ndtw", "distance_to_goal", "steps_taken"):
         assert k in agg, agg
     assert np.isfinite(agg["steps_taken"]) and agg["steps_taken"] > 24
+
+
+@pytest.mark.timeout(900)
+def test_unique_episode_collection_terminates(tmp_path):
+    """beta=1 collection must terminate cleanly when every env runs out of
+    unique episodes before UPDATE_SIZE is reached (all-paused break)."""
+    from ws_mgmap_tpu.data.trajstore import TrajStoreReader
+    from ws_mgmap_tpu.train.collector import collect_dataset
+    from ws_mgmap_tpu.train.rollout import RolloutEngine
+    from ws_mgmap_tpu.train.trainer import DaggerTrainer, load_split
+
+    cfg = tiny_config(str(tmp_path))
+    cfg.defrost()
+    cfg.DAGGER.UPDATE_SIZE = 10  # > the 4 unique fake episodes
+    cfg.DAGGER.P = 1.0
+    cfg.freeze()
+
+    trainer = DaggerTrainer(cfg, env_workers=False)
+    variables = trainer.init_variables()
+    engine = RolloutEngine(trainer.policy, variables, cfg.NUM_PROCESSES)
+    dataset, gt = load_split(cfg, cfg.TASK_CONFIG.DATASET.SPLIT)
+    store = str(tmp_path / "traj_unique")
+    collected = collect_dataset(cfg, engine, dataset, gt, store, 0,
+                                workers=False)
+    n = len(TrajStoreReader(store))
+    assert 1 <= n <= 10
+    assert collected == n
+    # dedup log written
+    assert (tmp_path / "traj_unique" / "collected_ep.txt").exists()

@@ -28,7 +28,7 @@ def test_frame_composition(tmp_path):
         waypoint_world=np.zeros(3),
     )
     assert frame.dtype == np.uint8 and frame.shape[0] == 240
-    assert frame.shape[1] == 4 * 240
+    assert frame.shape[1] == 4 * 240 + 120  # + legend strip
     frame = append_text_to_image(frame, "walk to the kitchen")
     assert frame.shape[0] == 280
 

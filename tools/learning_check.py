@@ -38,7 +38,7 @@ def tiny_config(tmp_dir, episodes, epochs):
     cfg.EVAL.USE_CKPT_CONFIG = False
     cfg.ep_max_len = 90
     cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 90
-    cfg.TASK_CONFIG.DATASET.FAKE_EPISODES = episodes
+    cfg.TASK_CONFIG.DATASET.FAKE_EPISODES = episodes * 2  # headroom for unique-episode pausing
     cfg.TASK_CONFIG.DATASET.FAKE_SCENES = 2
     cfg.TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT = 64
     cfg.TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH = 64

@@ -71,6 +71,23 @@ def append_text_to_image(image: np.ndarray, text: str,
     return canvas
 
 
+def legend_panel(num_classes: int = 27, tile: int = 240,
+                 names=None) -> np.ndarray:
+    """Class-color legend strip (reference `utils.py` legend panel)."""
+    img = np.full((tile, 120, 3), 255, np.uint8)
+    rows = num_classes
+    rh = max(tile // rows, 6)
+    for i in range(num_classes):
+        y0 = i * rh
+        if y0 + rh > tile:
+            break
+        img[y0:y0 + rh - 1, 4:24] = PALETTE_27[i]
+        label = str(i) if names is None else str(names[i])[:10]
+        cv2.putText(img, label, (28, y0 + rh - 2), cv2.FONT_HERSHEY_PLAIN,
+                    0.6, (0, 0, 0), 1, cv2.LINE_AA)
+    return img
+
+
 def observations_to_image(
     obs: Dict[str, Any],
     sim=None,
@@ -97,6 +114,8 @@ def observations_to_image(
             interpolation=cv2.INTER_NEAREST))
     if att_map is not None:
         panels.append(cv2.resize(colorize_heatmap(att_map), (tile, tile)))
+    if pred_sem_map is not None or "gt_semantic_map" in obs:
+        panels.append(legend_panel(tile=tile))
     return np.concatenate(panels, axis=1)
 
 

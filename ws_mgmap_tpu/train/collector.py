@@ -122,6 +122,8 @@ def collect_dataset(
                 episodes.pop(i)
                 step_counts.pop(i)
                 dones.pop(i)
+            if not keep:
+                break  # every env exhausted its unique episodes
             engine.keep(keep)
             prev_actions = prev_actions[keep]
             masks = masks[keep]
@@ -129,8 +131,6 @@ def collect_dataset(
             batch = engine.batch_obs(observations)
             for k in cache:
                 cache[k] = [cache[k][i] for i in keep]
-            if envs.num_envs == 0:
-                break
 
         # policy/map step (`dagger_trainer.py:430-445`)
         if count_step % config.step_num == 0:
