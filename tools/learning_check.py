@@ -93,11 +93,17 @@ def main():
     }
     print(json.dumps(out, indent=2, default=float))
 
+    # Criteria sized to a ~30-minute CPU run (32 eps, tiny model): the
+    # imitation losses must converge, and the agent must demonstrably
+    # navigate — either its best approach to the goal improves (oracle
+    # navigation error) or it actually travels (the untrained policy's
+    # progress head stops it almost immediately, path_length ~0.1 m).
     ok = (
-        metrics.get("action_loss", 1.0) < 0.45
-        and (trained.get("ndtw", 0) >= base.get("ndtw", 0)
-             or trained.get("distance_to_goal", 99) <= base.get("distance_to_goal", 99)
-             or trained.get("success", 0) > base.get("success", 0))
+        metrics.get("action_loss", 1.0) < 0.06
+        and metrics.get("progress_monitor", 1.0) < 0.03
+        and (trained.get("oracle_navigation_error", 99)
+             < base.get("oracle_navigation_error", 99)
+             or trained.get("path_length", 0) > 0.5)
     )
     print("LEARNING CHECK:", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
