@@ -114,6 +114,60 @@ def main():
                  for _ in range(2))
     act_fps = BATCH * STEPS / max(t_long - t_short, 1e-6)
 
+    # -- teacher-forcing training throughput -----------------------------------
+    # full-size model on a realistic cached-feature batch (stage-1 shape:
+    # BATCH_SIZE 8 episodes x ~48 subsampled frames, `dagger_trainer.py:82-83`
+    # with the 24-step spin + stride-3 subsample).
+    from ws_mgmap_tpu.train import step as step_lib
+    from ws_mgmap_tpu.train.losses import MonitorConfig
+
+    n_ep, t_len = 8, 48
+    tb = {
+        "instruction": jnp.asarray(np.pad(
+            rng.randint(1, 2504, (n_ep, 1, 16)),
+            ((0, 0), (0, 0), (0, 184))).repeat(t_len, axis=1)),
+        "rgb_features": jnp.asarray(
+            rng.randn(n_ep, t_len, 7, 7, 512).astype(np.float32) * 0.1),
+        "depth_features": jnp.asarray(
+            rng.randn(n_ep, t_len, 4, 4, 128).astype(np.float32) * 0.1),
+        "rgb_ego_map": jnp.asarray(
+            rng.rand(n_ep, t_len, 100, 100, 64).astype(np.float32)),
+        "waypoint": jnp.asarray(
+            rng.uniform(-0.9, 0.9, (n_ep, t_len, 2)).astype(np.float32)),
+        "progress": jnp.asarray(rng.rand(n_ep, t_len, 1).astype(np.float32)),
+        "gt_path": jnp.asarray(
+            (rng.rand(n_ep, t_len, 100, 100) * 40).astype(np.float32)),
+        "gt_semantic_map": jnp.asarray(
+            rng.randint(0, 27, (n_ep, t_len, 100, 100)).astype(np.int32)),
+    }
+    weights = jnp.ones((n_ep, t_len))
+    nd_masks = jnp.ones((n_ep, t_len)).at[:, 0].set(0.0)
+    train_batch = {"obs": tb, "weights": weights, "not_done_masks": nd_masks}
+
+    opt = step_lib.make_optimizer(2.5e-4)
+    tstate = step_lib.create_train_state(
+        jax.tree.map(jnp.asarray, variables), opt)
+    update = step_lib.make_train_step(policy, opt, MonitorConfig(),
+                                      cfg.hidden_size)
+
+    tstate, metrics0 = jax.jit(update)(tstate, train_batch)  # compile + template
+
+    @jax.jit
+    def train_n(tstate, metrics, batch, steps):
+        def body(i, carry):
+            st, _ = carry
+            return update(st, batch)
+        return lax.fori_loop(0, steps, body, (tstate, metrics))
+
+    kt1, kt2 = jnp.int32(1), jnp.int32(1 + 8)
+    timed(lambda: train_n(tstate, metrics0, train_batch, kt1)[1][
+        "loss"].reshape(1, 1))
+    t_short = min(timed(lambda: train_n(tstate, metrics0, train_batch, kt1)[1][
+        "loss"].reshape(1, 1)) for _ in range(2))
+    t_long = min(timed(lambda: train_n(tstate, metrics0, train_batch, kt2)[1][
+        "loss"].reshape(1, 1)) for _ in range(2))
+    train_fps = n_ep * t_len * 8 / max(t_long - t_short, 1e-6)
+
     print(json.dumps({
         "metric": "map_update_frames_per_sec_per_chip",
         "value": round(map_fps, 2),
@@ -121,6 +175,8 @@ def main():
         "vs_baseline": round(map_fps / REFERENCE_MAP_UPDATE_FPS, 3),
         "extras": {
             "policy_act_steps_per_sec_per_chip": round(act_fps, 2),
+            "train_frames_per_sec_per_chip": round(train_fps, 2),
+            "train_batch": [n_ep, t_len],
             "batch": BATCH,
             "device": str(jax.devices()[0]),
         },

@@ -15,6 +15,8 @@ from __future__ import annotations
 import os
 from typing import List, Optional, Set
 
+import psutil
+
 import numpy as np
 
 from ws_mgmap_tpu.data.trajstore import TrajStoreReader, TrajStoreWriter
@@ -109,7 +111,10 @@ def collect_dataset(
                 step_counts[i] = 0
                 dones[i] = False
 
-        if len(pending_records) >= config.DAGGER.LMDB_COMMIT_FREQUENCY:
+        low_ram = psutil.virtual_memory().available < 10 * 1024 ** 3
+        if pending_records and (
+                len(pending_records) >= config.DAGGER.LMDB_COMMIT_FREQUENCY
+                or low_ram):  # RAM watermark flush (`dagger_trainer.py:394-398`)
             writer.append_batch(pending_records)
             writer.flush()
             current_total = store_count()

@@ -106,9 +106,24 @@ class ReplayLoader:
         per = len(self.reader) // self.world_size
         return per // self.batch_size if self.drop_last else -(-per // self.batch_size)
 
+    def _drop_page_cache(self):
+        """Advise the kernel to drop cached store pages before an epoch
+        (`dagger_trainer.py:601-605` posix_fadvise DONTNEED)."""
+        import glob as _glob
+        import os as _os
+        for shard in _glob.glob(_os.path.join(self.reader.directory,
+                                              "shard_*.bin")):
+            try:
+                fd = _os.open(shard, _os.O_RDONLY)
+                _os.posix_fadvise(fd, 0, 0, _os.POSIX_FADV_DONTNEED)
+                _os.close(fd)
+            except OSError:
+                pass
+
     def _batches(self) -> Iterator[Dict[str, Any]]:
         rng = random.Random(self.seed + self._epoch)
         self._epoch += 1
+        self._drop_page_cache()
         per = len(self.reader) // self.world_size
         start = per * self.rank
         order = _block_shuffle(list(range(start, start + per)),
