@@ -171,3 +171,48 @@ def test_dp8_matches_single_device(policy_and_state):
         # device (mathematically invariant) already yields rel-L2 up to
         # ~7e-3 on BN-coupled tensors in fp32. 3e-2 = ~4x that floor.
         assert rel_l2 < 3e-2, ("/".join(k), rel_l2)
+
+
+def test_remat_matches_plain(policy_and_state):
+    """jax.checkpoint rematerialization must not change losses/grad flow."""
+    _, state, _ = policy_and_state
+    batch = make_batch()
+    opt = train_step_lib.make_optimizer(2.5e-4)
+    upd_plain = train_step_lib.make_train_step(
+        policy_and_state[0], opt, MonitorConfig(), CFG.hidden_size)
+    upd_remat = train_step_lib.make_train_step(
+        policy_and_state[0], opt, MonitorConfig(), CFG.hidden_size, remat=True)
+    s1, m1 = jax.jit(upd_plain)(state, batch)
+    s2, m2 = jax.jit(upd_remat)(state, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+    # Compare gradients (not Adam updates — see the dp8 test for why):
+    policy = policy_and_state[0]
+
+    def loss_only(params, do_remat):
+        def forward(p):
+            (pred, aux_out), _ = policy.apply(
+                {"params": p, "batch_stats": state.batch_stats},
+                batch["obs"], jnp.zeros((2, N, CFG.hidden_size)),
+                batch["not_done_masks"], True,
+                method=BasePolicy.forward_seq, mutable=["batch_stats"])
+            return pred, aux_out
+        fwd = jax.checkpoint(forward) if do_remat else forward
+        pred, aux_out = fwd(params)
+        from ws_mgmap_tpu.train.losses import total_loss
+        return total_loss(pred, aux_out, batch["obs"], batch["weights"],
+                          MonitorConfig())[0]
+
+    g1 = jax.jit(jax.grad(lambda p: loss_only(p, False)))(state.params)
+    g2 = jax.jit(jax.grad(lambda p: loss_only(p, True)))(state.params)
+    f1 = traverse_util.flatten_dict(g1)
+    f2 = traverse_util.flatten_dict(g2)
+    for k in f1:
+        a = np.asarray(f1[k]).ravel()
+        b = np.asarray(f2[k]).ravel()
+        denom = np.linalg.norm(a)
+        if denom < 1e-5:  # degenerate direction (conv bias feeding BN)
+            assert np.linalg.norm(b) < 1e-4, "/".join(k)
+            continue
+        rel_l2 = np.linalg.norm(a - b) / denom
+        assert rel_l2 < 1e-2, ("/".join(k), rel_l2)

@@ -72,12 +72,19 @@ def make_train_step(
     monitors: MonitorConfig,
     hidden_size: int,
     num_recurrent_layers: int = 2,
+    remat: bool = False,
 ) -> Callable[[TrainState, Dict[str, Any]], Tuple[TrainState, Dict[str, Array]]]:
     """Returns update(state, batch) -> (state, metrics).
 
     batch: {"obs": {leaf: [N,T,...]}, "weights": [N,T],
             "not_done_masks": [N,T]}. Weights are 0 on padding; masks are 0
     at episode starts (`dagger_trainer.py:102-103`).
+
+    ``remat=True`` rematerializes the forward in the backward pass
+    (jax.checkpoint) — trades ~1.4x compute for dropping the multi-GB saved
+    activations of long [N, T] batches (the `jax.checkpoint` lever from the
+    TPU playbook; the reference has no equivalent and is capped by GPU RAM
+    at `dagger_trainer.py:82-83`).
     """
 
     def update(state: TrainState, batch: Dict[str, Any]):
@@ -87,14 +94,20 @@ def make_train_step(
         n = weights.shape[0]
         h0 = jnp.zeros((num_recurrent_layers, n, hidden_size))
 
-        def loss_fn(params):
+        def forward(params):
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            (pred, aux_out), mut = policy.apply(
+            return policy.apply(
                 variables, obs, h0, masks, True,
                 method=BasePolicy.forward_seq, mutable=["batch_stats"],
             )
+
+        if remat:
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            (pred, aux_out), mut = forward(params)
             loss, metrics = total_loss(pred, aux_out, obs, weights, monitors)
             return loss, (mut.get("batch_stats", {}), metrics)
 
