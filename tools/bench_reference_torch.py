@@ -1,0 +1,202 @@
+#!/usr/bin/env python3
+"""Anchor the bench baseline: measure the reference's literal map-update
+math in torch-cpu, model its FLOPs/bytes exactly, and derive a defensible
+V100-class GPU estimate for `bench.py`'s REFERENCE_MAP_UPDATE_FPS.
+
+Method
+------
+The reference publishes no throughput numbers (BASELINE.md), and this image
+has no CUDA. What we CAN do honestly:
+
+1. Run the reference's own `RGBMapping.forward` (imported unmodified from
+   /root/reference with a pure-torch scatter_max shim) and the reference
+   UNet architecture (torch mirror with identical layer spec; torchvision
+   isn't installed) on this machine's CPU -> ground-truth work definition.
+2. Count the workload exactly: conv FLOPs via module hooks; bytes moved by
+   the elementwise/warp/scatter chain analytically from tensor shapes.
+3. Project to a V100 (the era-appropriate GPU for a NeurIPS'22 / torch-1.6
+   codebase; README trains on 3 unspecified GPUs) with published rates:
+     - effective fp32 conv throughput R_CONV = 8 TFLOP/s. Anchor: public
+       V100 ResNet-50 fp32 inference ~1000 img/s at ~8.2 GFLOP/img
+       (NVIDIA perf pages / MLPerf-era numbers) = ~8 TFLOP/s achieved;
+       peak is 15.7.
+     - effective HBM2 bandwidth BW = 700 GB/s (~78% of 900 GB/s peak,
+       standard STREAM-like achievable fraction).
+     - per-op eager overhead ~10 us x ~40 CUDA launches in the mapping
+       chain (torch 1.6 eager, no fusion) = 0.4 ms/step.
+   Each component is max(flops/R_CONV, bytes/BW) (roofline).
+4. Cross-check against CPU measurements of the literal code (printed side
+   by side). Note the map-chain roofline under-predicts the CPU time ~5x:
+   torch-CPU grid_sample/scatter are scalar gather loops, not streaming
+   kernels, so a bandwidth model is a lower bound there. On GPU those ops
+   ARE memory-bound CUDA kernels, where the roofline applies; the UNet
+   conv model (the 93% of the step) is anchored by the measured CPU conv
+   rate behaving as expected (90.7 GFLOP/s achieved vs 139.8 GEMM peak,
+   i.e. 65% conv efficiency -- the same efficiency class assumed for V100).
+
+Writes tools/reference_baseline.json; bench.py reads it.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import torch
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.reference_shims import MappingConfig, cpu_as_cuda, load_reference_module  # noqa: E402
+from tests.torch_mirrors import TorchResNetUNet  # noqa: E402
+
+R_CONV_V100 = 8e12     # achieved fp32 conv FLOP/s (see module docstring)
+BW_V100 = 700e9        # achieved HBM2 bytes/s
+LAUNCH_OVERHEAD_S = 0.4e-3  # ~40 eager CUDA launches x ~10us in the mapping chain
+BATCH = 6              # reference stage-1 NUM_PROCESSES (README.md:80)
+
+
+def timed(fn, iters=3, warmup=1):
+    for _ in range(warmup):
+        fn()
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def conv_flops_of(module, *args):
+    """Exact conv+linear FLOPs of one forward (2*out_elems*fan_in)."""
+    flops = [0]
+    hooks = []
+
+    def hook(mod, inp, out):
+        if isinstance(mod, torch.nn.Conv2d):
+            oe = out.numel()
+            fan = mod.in_channels // mod.groups * mod.kernel_size[0] * mod.kernel_size[1]
+            flops[0] += 2 * oe * fan
+        elif isinstance(mod, torch.nn.Linear):
+            flops[0] += 2 * out.numel() * mod.in_features
+
+    for m in module.modules():
+        hooks.append(m.register_forward_hook(hook))
+    with torch.no_grad():
+        module(*args)
+    for h in hooks:
+        h.remove()
+    return flops[0]
+
+
+def main():
+    torch.set_num_threads(os.cpu_count() or 1)
+    rng = np.random.RandomState(0)
+
+    # ---- CPU capability anchors --------------------------------------------
+    a = torch.from_numpy(rng.randn(1024, 1024).astype(np.float32))
+    b = torch.from_numpy(rng.randn(1024, 1024).astype(np.float32))
+    t_gemm = timed(lambda: a @ b, iters=5)
+    r_cpu_gemm = 2 * 1024**3 / t_gemm
+
+    big = torch.from_numpy(rng.randn(64 * 1024 * 1024 // 4).astype(np.float32))
+    t_copy = timed(lambda: big.clone(), iters=5)
+    bw_cpu = 2 * big.numel() * 4 / t_copy  # read + write
+
+    # ---- UNet: reference architecture, forward @224^2 -----------------------
+    unet = TorchResNetUNet().eval()
+    rgb1 = torch.from_numpy(rng.randn(1, 3, 224, 224).astype(np.float32))
+    f_unet_1 = conv_flops_of(unet, rgb1)
+
+    with torch.no_grad():
+        t_unet_1 = timed(lambda: unet(rgb1), iters=2)
+    r_cpu_conv = f_unet_1 / t_unet_1
+
+    # ---- mapping chain: literal reference code ------------------------------
+    ref = load_reference_module("vlnce_baselines/common/rgb_mapping.py")
+    with cpu_as_cuda():
+        mapper = ref.RGBMapping(MappingConfig(num_proc=BATCH))
+    feats = torch.from_numpy(rng.randn(BATCH, 64, 224, 224).astype(np.float32))
+    obs = {
+        "gps": torch.from_numpy(rng.uniform(-3, 3, (BATCH, 2)).astype(np.float32)),
+        "depth": torch.from_numpy((rng.rand(BATCH, 256, 256, 1) * 0.6).astype(np.float32)),
+        "compass": torch.from_numpy(rng.uniform(-3, 3, (BATCH, 1)).astype(np.float32)),
+    }
+    masks = torch.ones(BATCH, 1)
+
+    def map_step():
+        o = dict(obs)  # forward() caches 'rgb_ego_map' into the obs dict
+        with torch.no_grad(), cpu_as_cuda():
+            mapper.forward(feats, o, masks)
+
+    t_map_cpu = timed(map_step, iters=2)
+
+    # ---- bytes model of the mapping chain (fp32, exact shapes) --------------
+    MB = 1
+    def tbytes(*shape):
+        return int(np.prod(shape)) * 4
+
+    ego = tbytes(BATCH, 64, 100, 100)        # 15.4 MB
+    gmap = tbytes(BATCH, 64, 240, 240)       # 88 MB
+    pix = tbytes(BATCH, 64, 224, 224)        # 77 MB
+    depth_b = tbytes(BATCH, 1, 256, 256)
+    bytes_map = (
+        depth_b * 3                    # spatial locs: read depth, write x/y/valid
+        + pix * 2 + ego                # scatter_max: read feats+mask pass, write grid
+        + ego * 3                      # rotate ego: 4-tap gather (~2 reads) + write
+        + gmap                         # paste agent_view (write)
+        + gmap * 3                     # translate: gather reads (~2x) + write
+        + gmap * 3                     # max fuse: read a + read b + write
+        + gmap * 3                     # retrieval translate: gather + write
+        + ego * 3                      # crop + final rotate
+    )
+
+    f_unet_b = f_unet_1 * BATCH
+    # eager BN/ReLU/upsample passes: ~4 extra streams over each big conv
+    # output; approximate as 3x the conv output bytes of the decoder path
+    bytes_unet_ew = 3 * (pix * 2 + tbytes(BATCH, 128, 112, 112) * 2
+                         + tbytes(BATCH, 256, 56, 56) * 2)
+
+    # ---- V100 roofline -------------------------------------------------------
+    t_unet_v100 = max(f_unet_b / R_CONV_V100, bytes_unet_ew / BW_V100)
+    t_map_v100 = bytes_map / BW_V100 + LAUNCH_OVERHEAD_S
+    t_step_v100 = t_unet_v100 + t_map_v100
+    fps_v100 = BATCH / t_step_v100
+
+    # ---- cross-check: does the same model predict this CPU? -----------------
+    t_unet_cpu_pred = f_unet_1 / r_cpu_conv  # tautological per-frame, sanity only
+    t_map_cpu_pred = bytes_map / bw_cpu
+
+    out = {
+        "derived_v100_map_update_fps": round(fps_v100, 1),
+        "batch": BATCH,
+        "model": {
+            "unet_conv_flops_per_frame": f_unet_1,
+            "bytes_map_chain_per_step": bytes_map,
+            "bytes_unet_elementwise": bytes_unet_ew,
+            "t_unet_v100_ms": round(t_unet_v100 * 1e3, 3),
+            "t_map_v100_ms": round(t_map_v100 * 1e3, 3),
+            "assumptions": {
+                "R_CONV_V100_tflops": R_CONV_V100 / 1e12,
+                "BW_V100_gbs": BW_V100 / 1e9,
+                "launch_overhead_ms": LAUNCH_OVERHEAD_S * 1e3,
+            },
+        },
+        "cpu_anchor": {
+            "cores": os.cpu_count(),
+            "gemm_gflops": round(r_cpu_gemm / 1e9, 1),
+            "conv_gflops_achieved": round(r_cpu_conv / 1e9, 1),
+            "stream_gbs": round(bw_cpu / 1e9, 2),
+            "t_unet_b1_ms_measured": round(t_unet_1 * 1e3, 1),
+            "t_map_b6_ms_measured": round(t_map_cpu * 1e3, 1),
+            "t_map_b6_ms_roofline_pred": round(t_map_cpu_pred * 1e3, 1),
+        },
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "reference_baseline.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
