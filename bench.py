@@ -9,18 +9,34 @@ scatter-max splat + global-map registration, reference `policy.py:30-32` +
 `rgb_mapping.py:79-90`), at the reference's stage-1 env batch (6 envs,
 `README.md:80` NUM_PROCESSES 6).
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md). We
-estimate its PyTorch-GPU map-update rate at ~160 frames/s on a V100-class
-GPU at batch 6 (UNet resnet18 fwd ~25 ms + 4 grid_sample warps over
-[6,64,240,240] + torch_scatter ~10 ms per batched step). vs_baseline is
-measured_fps / 160.
+Baseline: the reference publishes no throughput numbers (BASELINE.md).
+tools/bench_reference_torch.py measures the reference's literal map-update
+math (its own RGBMapping imported from /root/reference + exact conv FLOP
+counts of its UNet) and projects to a V100-class GPU with a documented
+roofline; the derived number is stored in tools/reference_baseline.json
+(203.7 frames/s @ batch 6) and loaded here.
+
+Primary measurement runs the production rollout mode (bf16 frozen trunks,
+MODEL.ROLLOUT_BF16); the fp32 parity-mode number is reported in extras.
 """
 import json
+import os
 import time
 
 import numpy as np
 
-REFERENCE_MAP_UPDATE_FPS = 160.0  # estimated PyTorch-GPU baseline (see above)
+
+def _reference_fps() -> float:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "reference_baseline.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["derived_v100_map_update_fps"])
+    except Exception:
+        return 203.7  # last derived value (see tools/bench_reference_torch.py)
+
+
+REFERENCE_MAP_UPDATE_FPS = _reference_fps()
 BATCH = 6
 STEPS = 30
 
@@ -97,22 +113,41 @@ def main():
         return time.perf_counter() - t0
 
     k1, k2 = jnp.int32(2), jnp.int32(2 + STEPS)
-    # compile both step counts, then measure
-    timed(lambda: update_map_n(variables, obs, gmap, masks, k1))
-    timed(lambda: update_map_n(variables, obs, gmap, masks, k2))
-    t_short = min(timed(lambda: update_map_n(variables, obs, gmap, masks, k1))
-                  for _ in range(2))
-    t_long = min(timed(lambda: update_map_n(variables, obs, gmap, masks, k2))
-                 for _ in range(2))
-    map_fps = BATCH * STEPS / max(t_long - t_short, 1e-6)
 
-    timed(lambda: act_n(variables, obs, hidden, gmap, masks, k1))
-    timed(lambda: act_n(variables, obs, hidden, gmap, masks, k2))
-    t_short = min(timed(lambda: act_n(variables, obs, hidden, gmap, masks, k1))
-                  for _ in range(2))
-    t_long = min(timed(lambda: act_n(variables, obs, hidden, gmap, masks, k2))
-                 for _ in range(2))
-    act_fps = BATCH * STEPS / max(t_long - t_short, 1e-6)
+    def cast_tree(tree, dtype):
+        return jax.tree.map(
+            lambda x: x.astype(dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+    def measure_rollout(dtype):
+        """(map_fps, act_fps) with trunks/state/obs in `dtype` — the
+        production rollout mode is bf16 (MODEL.ROLLOUT_BF16)."""
+        v = cast_tree(variables, dtype)
+        o = dict(cast_tree(obs, dtype), gps=obs["gps"],
+                 compass=obs["compass"])  # coordinate math stays fp32
+        gm = gmap.astype(dtype)
+        hd = hidden.astype(dtype)
+        mk = masks.astype(dtype)
+
+        timed(lambda: update_map_n(v, o, gm, mk, k1))
+        timed(lambda: update_map_n(v, o, gm, mk, k2))
+        t_short = min(timed(lambda: update_map_n(v, o, gm, mk, k1))
+                      for _ in range(2))
+        t_long = min(timed(lambda: update_map_n(v, o, gm, mk, k2))
+                     for _ in range(2))
+        map_fps = BATCH * STEPS / max(t_long - t_short, 1e-6)
+
+        timed(lambda: act_n(v, o, hd, gm, mk, k1))
+        timed(lambda: act_n(v, o, hd, gm, mk, k2))
+        t_short = min(timed(lambda: act_n(v, o, hd, gm, mk, k1))
+                      for _ in range(2))
+        t_long = min(timed(lambda: act_n(v, o, hd, gm, mk, k2))
+                     for _ in range(2))
+        act_fps = BATCH * STEPS / max(t_long - t_short, 1e-6)
+        return map_fps, act_fps
+
+    map_fps, act_fps = measure_rollout(jnp.bfloat16)
+    map_fps_fp32, act_fps_fp32 = measure_rollout(jnp.float32)
 
     # -- teacher-forcing training throughput -----------------------------------
     # full-size model on a realistic cached-feature batch (stage-1 shape:
@@ -174,10 +209,14 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(map_fps / REFERENCE_MAP_UPDATE_FPS, 3),
         "extras": {
+            "rollout_mode": "bf16 frozen trunks (MODEL.ROLLOUT_BF16)",
             "policy_act_steps_per_sec_per_chip": round(act_fps, 2),
+            "map_update_fp32_parity_mode": round(map_fps_fp32, 2),
+            "act_fp32_parity_mode": round(act_fps_fp32, 2),
             "train_frames_per_sec_per_chip": round(train_fps, 2),
             "train_batch": [n_ep, t_len],
             "batch": BATCH,
+            "baseline_fps": REFERENCE_MAP_UPDATE_FPS,
             "device": str(jax.devices()[0]),
         },
     }))

@@ -139,7 +139,7 @@ class TorchBiLSTM(nn.Module):
                 c = jnp.where(m, c_new, c)
                 return (h, c), h_new
 
-            init = (jnp.zeros((b, hsz)), jnp.zeros((b, hsz)))
+            init = (jnp.zeros((b, hsz), xs.dtype), jnp.zeros((b, hsz), xs.dtype))
             _, ys = jax.lax.scan(body, init, (xs_tbi, step_mask.T))
             return ys  # [T,B,H]
 

@@ -39,14 +39,17 @@ def adaptive_avg_pool_lastdim(x: Array, out_size: int) -> Array:
 
 def avg_pool2d_nhwc(x: Array, kernel: int, stride: int) -> Array:
     """`F.avg_pool2d` (reference `mg_map_policy.py:197`), NHWC layout."""
+    # init must be a CONCRETE scalar (a traced constant falls off the
+    # reduce_window_sum grad special case -> no autodiff rule)
+    init = _np.zeros((), _np.dtype(x.dtype))[()]
     return jax.lax.reduce_window(
         x,
-        0.0,
+        init,
         jax.lax.add,
         (1, kernel, kernel, 1),
         (1, stride, stride, 1),
         "VALID",
-    ) / float(kernel * kernel)
+    ) / _np.asarray(kernel * kernel, _np.dtype(x.dtype))[()]
 
 
 def interpolate_nearest_nhwc(x: Array, out_hw: tuple[int, int]) -> Array:
@@ -112,8 +115,9 @@ def upsample_bilinear_x2_nhwc(x: Array) -> Array:
     bilinear) so it runs on the MXU instead of as an element gather.
     """
     n, h, w, c = x.shape
-    uh = jnp.asarray(_upsample_x2_matrix(h))
-    uw = jnp.asarray(_upsample_x2_matrix(w))
+    uh = jnp.asarray(_upsample_x2_matrix(h)).astype(x.dtype)
+    uw = jnp.asarray(_upsample_x2_matrix(w)).astype(x.dtype)
+    # HIGHEST keeps fp32 parity exact; for bf16 inputs it is the native pass
     out = jnp.einsum("oh,bhwc->bowc", uh, x,
                      precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("ow,bhwc->bhoc", uw, out,

@@ -115,11 +115,12 @@ def splat_to_ground(
     invalid = ~(valid & in_bounds)
 
     # Invalid writes go to cell (0, 0) carrying the EPS sentinel
-    # (`rgb_mapping.py:206-212`).
+    # (`rgb_mapping.py:206-212`). Splat in the feature dtype (bf16 rollout
+    # mode keeps the whole chain narrow); compare against the dtype's own
+    # rounding of the sentinel below.
     lin = jnp.where(invalid, 0, y_gp * ego_size + x_gp)  # [B, Hd, Wd]
-    masked = jnp.where(
-        invalid[..., None], EPS_INVALID, feats.astype(jnp.float32)
-    )
+    eps = jnp.asarray(EPS_INVALID, feats.dtype)
+    masked = jnp.where(invalid[..., None], eps, feats)
 
     num_cells = ego_size * ego_size
 
@@ -140,7 +141,7 @@ def splat_to_ground(
     # Untouched segments are -inf from segment_max; eps-only cells are EPS.
     # Both become 0, matching torch_scatter's zero fill + the reference's
     # eps replacement (`rgb_mapping.py:229-230`).
-    out = jnp.where(out <= EPS_INVALID, 0.0, out)
+    out = jnp.where(out <= eps, 0.0, out)
     return out.reshape(b, ego_size, ego_size, c)
 
 

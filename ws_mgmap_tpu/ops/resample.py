@@ -94,8 +94,10 @@ def grid_sample(
 
     x0 = jnp.floor(ix)
     y0 = jnp.floor(iy)
-    wx = (ix - x0)[..., None]
-    wy = (iy - y0)[..., None]
+    # coordinate math stays fp32; blend in the image dtype so reduced-
+    # precision (bf16 rollout mode) maps are not silently promoted
+    wx = (ix - x0)[..., None].astype(img.dtype)
+    wy = (iy - y0)[..., None].astype(img.dtype)
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
@@ -199,8 +201,8 @@ def translate_norm_fast(img: Array, tx: Array, ty: Array) -> Array:
     dy = jnp.asarray(ty, jnp.float32).reshape(-1) * (h / 2.0)
     ix0 = jnp.floor(dx)
     iy0 = jnp.floor(dy)
-    fx = (dx - ix0)[:, None, None, None]
-    fy = (dy - iy0)[:, None, None, None]
+    fx = (dx - ix0)[:, None, None, None].astype(img.dtype)
+    fy = (dy - iy0)[:, None, None, None].astype(img.dtype)
     ix0 = ix0.astype(jnp.int32)
     iy0 = iy0.astype(jnp.int32)
 
