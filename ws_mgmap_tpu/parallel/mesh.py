@@ -37,14 +37,40 @@ def dp_sharded(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host batch with every leaf sharded on axis 0 over dp."""
+    """Place a host batch with every leaf sharded on axis 0 over dp.
+
+    Single-process: a plain sharded device_put. Multi-process (one jax
+    process per host, `jax.distributed`): each process passes its LOCAL
+    shard (the rank-sharded loader batch) and the leaves assemble into
+    global arrays of leading size local * process_count — the TPU-native
+    equivalent of DDP's per-rank batches (`common_trainer.py:61-66`).
+    """
+    if jax.process_count() == 1:
+        sh = dp_sharded(mesh)
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
     sh = dp_sharded(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    nproc = jax.process_count()
+
+    def put(x):
+        x = np.asarray(x)
+        gshape = (x.shape[0] * nproc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sh, x, gshape)
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a (host-identical) tree onto every device of the mesh."""
     sh = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree)
 
 
 def dp_size(mesh: Mesh) -> int:

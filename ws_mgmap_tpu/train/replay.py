@@ -92,12 +92,16 @@ class ReplayLoader:
         max_len: int = 200,
         seed: int = 0,
         drop_last: bool = True,
+        fixed_len: bool = False,
     ):
         self.reader = TrajStoreReader(directory)
         self.batch_size = batch_size
         self.rank = rank
         self.world_size = world_size
         self.max_len = max_len
+        # multi-process training needs identical batch shapes on every
+        # rank; pad every batch to max_len instead of the batch max
+        self.fixed_len = fixed_len
         self.seed = seed
         self.drop_last = drop_last
         self._epoch = 0
@@ -136,7 +140,8 @@ class ReplayLoader:
             # length-sorted within the preload block (`:185-192`) — here the
             # block IS the batch, so sorting only stabilizes padding waste.
             eps.sort(key=lambda e: e["prev_actions"].shape[0])
-            yield collate_episodes(eps, self.max_len)
+            yield collate_episodes(eps, self.max_len,
+                                   fixed_len=self.fixed_len)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         """Background-thread prefetch (the reference's 4 DataLoader workers,
@@ -167,7 +172,8 @@ class ReplayLoader:
 
 def collate_episodes(episodes: Sequence[Dict[str, Any]],
                      max_len: int = 200,
-                     t_bucket: int = 16) -> Dict[str, Any]:
+                     t_bucket: int = 16,
+                     fixed_len: bool = False) -> Dict[str, Any]:
     """Pad + stack to episode-major [N, T, ...] (`dagger_trainer.py:40-113`).
 
     T is rounded up to a multiple of ``t_bucket`` (capped at max_len) so the
@@ -176,9 +182,12 @@ def collate_episodes(episodes: Sequence[Dict[str, Any]],
     Returns {"obs": {...}, "weights": [N,T], "not_done_masks": [N,T]}.
     """
     n = len(episodes)
-    t_max = min(max(e["prev_actions"].shape[0] for e in episodes), max_len)
-    if t_bucket > 1:
-        t_max = min(-(-t_max // t_bucket) * t_bucket, max_len)
+    if fixed_len:
+        t_max = max_len
+    else:
+        t_max = min(max(e["prev_actions"].shape[0] for e in episodes), max_len)
+        if t_bucket > 1:
+            t_max = min(-(-t_max // t_bucket) * t_bucket, max_len)
 
     def pad_stack(key_fn, fill):
         rows = []
