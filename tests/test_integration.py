@@ -68,6 +68,7 @@ def test_full_dagger_pipeline(tmp_path):
     cfg2 = cfg.clone()
     cfg2.defrost()
     cfg2.EVAL_CKPT_PATH_DIR = cfg.CHECKPOINT_FOLDER
+    cfg2.EVAL.POLL_IDLE_TIMEOUT = 1.0  # directory eval polls; bound it here
     cfg2.freeze()
     trainer2 = DaggerTrainer(cfg2, env_workers=False)
     agg = trainer2.eval()

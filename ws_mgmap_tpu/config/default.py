@@ -190,6 +190,9 @@ _C.EVAL = CN()
 _C.EVAL.SPLIT = "val_seen"
 _C.EVAL.USE_CKPT_CONFIG = True
 _C.EVAL.EPISODE_COUNT = 2
+# ours: bound the eval folder-polling idle wait in seconds (-1 = poll forever,
+# the reference behavior at common_trainer.py:210-226)
+_C.EVAL.POLL_IDLE_TIMEOUT = -1.0
 
 _C.INFERENCE = CN()
 _C.INFERENCE.SPLIT = "test"
@@ -217,6 +220,9 @@ _C.MODEL.inflection_weight_coef = 3.2
 _C.MODEL.ablate_depth = False
 _C.MODEL.ablate_rgb = False
 _C.MODEL.ablate_instruction = False
+# ours: run collection/eval rollouts with the frozen trunks in bfloat16
+# (parity-exempt fast path; training and parity tests stay fp32)
+_C.MODEL.ROLLOUT_BF16 = False
 
 _C.MODEL.INSTRUCTION_ENCODER = CN()
 _C.MODEL.INSTRUCTION_ENCODER.vocab_size = 2504

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -71,8 +71,13 @@ class DaggerTrainer:
         self.monitors = MonitorConfig.from_config(config.MODEL)
         self.policy = BasePolicy(self.model_cfg)
         self.store_dir = config.DAGGER.LMDB_FEATURES_DIR
+        self.rollout_dtype = (jnp.bfloat16
+                              if getattr(config.MODEL, "ROLLOUT_BF16", False)
+                              else None)
         from ws_mgmap_tpu.parallel.mesh import best_dp
-        self.mesh = make_mesh(dp=best_dp(config.DAGGER.BATCH_SIZE))
+        # BATCH_SIZE is per-rank (like the reference's per-GPU batch,
+        # `CMA_AUG.yaml:18`); the dp mesh spans the global episode batch
+        self.mesh = make_mesh(dp=best_dp(config.DAGGER.BATCH_SIZE * world_size))
         self.writer = None
 
     # -- setup ---------------------------------------------------------------
@@ -191,15 +196,21 @@ class DaggerTrainer:
                     self.policy,
                     {"params": jax.device_get(state.params),
                      "batch_stats": jax.device_get(state.batch_stats)},
-                    cfg.NUM_PROCESSES)
+                    cfg.NUM_PROCESSES, compute_dtype=self.rollout_dtype)
                 collect_dataset(cfg, engine, dataset, gt, self.store_dir,
                                 dagger_it, self.rank, self.world_size,
                                 workers=self.env_workers, log_fn=self._log)
+            if self.world_size > 1:
+                # every rank's store shard must be complete before any rank
+                # sizes its loader (the reference's barrier at
+                # `dagger_trainer.py:345,551`)
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices(f"collect_{dagger_it}")
 
             loader = ReplayLoader(
                 self.store_dir, cfg.DAGGER.BATCH_SIZE, rank=self.rank,
                 world_size=self.world_size, max_len=cfg.ep_max_len,
-                seed=dagger_it)
+                seed=dagger_it, fixed_len=self.world_size > 1)
             for epoch in range(start_epoch, cfg.DAGGER.EPOCHS):
                 t0 = time.time()
                 n_batches = 0
@@ -258,7 +269,7 @@ class DaggerTrainer:
                 self.policy,
                 {"params": jax.device_get(state.params),
                  "batch_stats": jax.device_get(state.batch_stats)},
-                eval_cfg.NUM_PROCESSES)
+                eval_cfg.NUM_PROCESSES, compute_dtype=self.rollout_dtype)
             agg = evaluate(eval_cfg, engine, dataset, gt,
                            episode_count=min(len(dataset.episodes), 8),
                            workers=self.env_workers, log_fn=self._log)
@@ -266,8 +277,16 @@ class DaggerTrainer:
                 for k, v in agg.items():
                     if np.isfinite(v):
                         tb.add_scalar(f"eval_while_training_{k}", v, step)
-        except Exception as e:  # eval must never kill a training run
-            self._log(f"eval-while-training failed: {e}")
+            self._eval_fail_streak = 0
+        except Exception as e:
+            # One transient failure (e.g. an env worker dying) must not kill
+            # a long training run, but a broken eval path should not degrade
+            # to a log line for 30 epochs: re-raise on repeat failures.
+            self._eval_fail_streak = getattr(self, "_eval_fail_streak", 0) + 1
+            self._log(f"eval-while-training failed "
+                      f"({self._eval_fail_streak} consecutive): {e}")
+            if self._eval_fail_streak >= 2:
+                raise
 
     # -- inference (leaderboard) ----------------------------------------------
     def inference(self, checkpoint_path: Optional[str] = None) -> str:
@@ -284,7 +303,7 @@ class DaggerTrainer:
         split = cfg.INFERENCE.SPLIT
         cfg.TASK_CONFIG.DATASET.SPLIT = split
         cfg.TASK_CONFIG.ENVIRONMENT.ITERATOR_OPTIONS.SHUFFLE = False
-        cfg.NUM_PROCESSES = 1
+        cfg.NUM_PROCESSES = max(1, self.config.NUM_PROCESSES)
         cfg.freeze()
 
         variables = self.init_variables()
@@ -293,45 +312,73 @@ class DaggerTrainer:
             variables, _ = ckpt_lib.restore_variables(variables, path)
 
         dataset, gt = load_split(cfg, split)
-        engine = RolloutEngine(self.policy, variables, 1)
+        engine = RolloutEngine(self.policy, variables, cfg.NUM_PROCESSES,
+                               compute_dtype=self.rollout_dtype)
         envs = construct_envs(cfg, dataset, gt, auto_reset_done=False,
                               workers=self.env_workers,
                               env_cls=VLNCEInferenceEnv)
+        # Same episode-exhaustion protocol as the evaluator
+        # (`common_trainer.py:412-476`): run until every episode is recorded
+        # once, pausing envs whose iterator cycled to a seen episode — robust
+        # to shuffling and to multiple env workers.
         predictions: Dict[str, Any] = {}
         total = min(len(dataset.episodes), cfg.EVAL.EPISODE_COUNT)
-        while len(predictions) < total:
-            obs = envs.reset()
-            engine.reset_state(1)
-            ep_id = envs.current_episodes()[0].episode_id
-            if ep_id in predictions:
-                break
+        engine.reset_state(envs.num_envs)
+        obs = envs.reset()
+        batch = engine.batch_obs(obs)
+        masks = np.zeros((envs.num_envs, 1), np.float32)
+        trajectories: List[list] = [[] for _ in range(envs.num_envs)]
+        count_step = 0
+        actions = np.zeros((envs.num_envs, 2), np.float32)
+        while envs.num_envs > 0 and len(predictions) < total:
+            current = envs.current_episodes()
+            if count_step % cfg.step_num == 0 and count_step >= 24:
+                out = engine.act(batch, masks)
+                actions = np.asarray(out.action)
+            else:
+                engine.update_map(batch, masks)
+            if count_step < 24:
+                actions = np.stack([np.asarray(
+                    o["waypoint"], np.float32)[:2] for o in obs])
+            prog = engine.prog
+            outputs = envs.step([{
+                "action": actions[e],
+                "prog": float(prog[e, 0]) if count_step >= 24 else -1,
+                "epidsode_reset_flag": count_step == 0,
+                "depth_img": obs[e]["depth"],
+            } for e in range(envs.num_envs)])
+            obs = [o[0] for o in outputs]
+            dones = [o[2] for o in outputs]
+            count_step += 1
+            masks = np.array([[0.0] if d else [1.0] for d in dones],
+                             np.float32)
+            for i in range(envs.num_envs):
+                trajectories[i].append(outputs[i][3])
+                if dones[i]:
+                    predictions[current[i].episode_id] = trajectories[i]
+                    trajectories[i] = []
+            if all(dones):
+                envs.resume_all()
+                obs = envs.reset()
+                engine.reset_state(envs.num_envs)
+                masks = np.zeros((envs.num_envs, 1), np.float32)
+                trajectories = [[] for _ in range(envs.num_envs)]
+                count_step = 0
+                actions = np.zeros((envs.num_envs, 2), np.float32)
             batch = engine.batch_obs(obs)
-            masks = np.zeros((1, 1), np.float32)
-            trajectory = []
-            count_step = 0
-            done = False
-            while not done:
-                if count_step % cfg.step_num == 0 and count_step >= 24:
-                    out = engine.act(batch, masks)
-                    actions = np.asarray(out.action)
-                else:
-                    engine.update_map(batch, masks)
-                if count_step < 24:
-                    actions = np.stack([np.asarray(
-                        o["waypoint"], np.float32)[:2] for o in obs])
-                prog = float(engine.prog[0, 0]) if count_step >= 24 else -1
-                outputs = envs.step([{
-                    "action": actions[0], "prog": prog,
-                    "epidsode_reset_flag": count_step == 0,
-                    "depth_img": obs[0]["depth"],
-                }])
-                obs = [outputs[0][0]]
-                done = outputs[0][2]
-                trajectory.append(outputs[0][3])
-                count_step += 1
-                masks = np.array([[0.0] if done else [1.0]], np.float32)
-                batch = engine.batch_obs(obs)
-            predictions[ep_id] = trajectory
+            nxt = envs.current_episodes()
+            to_pause = [i for i in range(envs.num_envs)
+                        if nxt[i].episode_id in predictions]
+            if to_pause:
+                keep = [i for i in range(envs.num_envs) if i not in to_pause]
+                for i in reversed(to_pause):
+                    envs.pause_at(i)
+                engine.keep(keep)
+                obs = [obs[i] for i in keep]
+                masks = masks[keep]
+                actions = actions[keep]
+                trajectories = [trajectories[i] for i in keep]
+                batch = engine.batch_obs(obs) if keep else batch
         envs.close()
         out_path = cfg.INFERENCE.PREDICTIONS_FILE
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
@@ -341,29 +388,48 @@ class DaggerTrainer:
         return out_path
 
     # -- eval ---------------------------------------------------------------
+    @staticmethod
+    def _ckpt_order_key(fname: str):
+        """Ascending checkpoint index (`ckpt.10.pth` after `ckpt.2.pth`),
+        matching the reference's index-ordered polling
+        (`common_trainer.py:210-226`); non-indexed names sort last by name."""
+        import re
+        m = re.search(r"ckpt\.(\d+)\.pth$", fname)
+        return (0, int(m.group(1)), fname) if m else (1, 0, fname)
+
     def eval(self, checkpoint_path: Optional[str] = None,
-             poll: bool = False) -> Dict[str, float]:
+             poll: Optional[bool] = None,
+             idle_timeout_s: Optional[float] = None) -> Dict[str, float]:
         """Single-checkpoint eval, or poll-the-folder mode
-        (`common_trainer.py:189-226`): with ``poll=True`` keep evaluating
-        checkpoints as they appear (ascending index), newest-first start."""
+        (`common_trainer.py:189-226`): a directory path polls for new
+        checkpoints **indefinitely** (the production "train on rank 0,
+        eval in a second job" workflow), evaluating in ascending ckpt
+        index. ``idle_timeout_s`` bounds the idle wait (tests/CI); the
+        default comes from EVAL.POLL_IDLE_TIMEOUT (-1 = forever)."""
         cfg = self.config
         path = checkpoint_path or cfg.EVAL_CKPT_PATH_DIR
+        if poll is None:
+            poll = os.path.isdir(path)
         if not poll or os.path.isfile(path):
             return self._eval_one(path)
 
+        if idle_timeout_s is None:
+            t = float(getattr(cfg.EVAL, "POLL_IDLE_TIMEOUT", -1.0))
+            idle_timeout_s = None if t < 0 else t
+
         evaluated = set()
         last: Dict[str, float] = {}
-        import time as _time
-        idle = 0
-        while idle < 30:  # stop after ~60s with nothing new
+        idle_since = time.time()
+        while (idle_timeout_s is None
+               or time.time() - idle_since < idle_timeout_s):
             candidates = sorted(
-                f for f in os.listdir(path)
-                if f.endswith(".pth") and f not in evaluated)
+                (f for f in os.listdir(path)
+                 if f.endswith(".pth") and f not in evaluated),
+                key=self._ckpt_order_key)
             if not candidates:
-                _time.sleep(2)
-                idle += 1
+                time.sleep(2)
                 continue
-            idle = 0
+            idle_since = time.time()
             for f in candidates:
                 evaluated.add(f)
                 last = self._eval_one(os.path.join(path, f))
@@ -414,7 +480,8 @@ class DaggerTrainer:
             self._log(f"evaluating {path}")
 
         dataset, gt = load_split(eval_cfg, split)
-        engine = RolloutEngine(policy, variables, eval_cfg.NUM_PROCESSES)
+        engine = RolloutEngine(policy, variables, eval_cfg.NUM_PROCESSES,
+                               compute_dtype=self.rollout_dtype)
         metric_dir = getattr(self.config, "METRIC_DIR", None)
         return evaluate(
             eval_cfg, engine, dataset, gt,
