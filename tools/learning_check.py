@@ -60,6 +60,10 @@ def main():
     ap.add_argument("--episodes", type=int, default=32)
     ap.add_argument("--epochs", type=int, default=10)  # <=10 skips eval-while-training
     ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--two-stage", action="store_true",
+                    help="after stage-1 teacher forcing, run stage-2 DAgger "
+                         "(beta=0.5^it, `dagger_trainer.py:291-299`) and "
+                         "require the val metrics to improve")
     args = ap.parse_args()
 
     if args.platform:
@@ -91,6 +95,34 @@ def main():
         "eval_untrained": base,
         "eval_trained": trained,
     }
+
+    if args.two_stage:
+        # Stage-2 DAgger fine-tuning (reference CMA_AUG_DA_TUNE.yaml:16-25):
+        # collect with beta = P^it mixing of oracle and policy waypoints,
+        # starting from the stage-1 checkpoint.
+        from ws_mgmap_tpu.train import checkpoint as ckpt_lib
+        stage1_ckpt = ckpt_lib.latest_checkpoint(cfg.CHECKPOINT_FOLDER)
+        cfg3 = cfg.clone(); cfg3.defrost()
+        cfg3.DAGGER.ITERATIONS = 3
+        cfg3.DAGGER.EPOCHS = 4
+        cfg3.DAGGER.P = 0.5
+        cfg3.DAGGER.UPDATE_SIZE = max(8, args.episodes // 2)
+        cfg3.DAGGER.LR = 2.5e-4
+        cfg3.DAGGER.LOAD_FROM_CKPT = True
+        cfg3.DAGGER.CKPT_TO_LOAD = stage1_ckpt
+        cfg3.DAGGER.LMDB_FEATURES_DIR = os.path.join(tmp, "traj_da")
+        cfg3.CHECKPOINT_FOLDER = os.path.join(tmp, "ckpt_da")
+        cfg3.freeze()
+        metrics2 = DaggerTrainer(cfg3, env_workers=False).train()
+
+        cfg4 = cfg3.clone(); cfg4.defrost()
+        cfg4.EVAL_CKPT_PATH_DIR = ckpt_lib.latest_checkpoint(
+            cfg3.CHECKPOINT_FOLDER)
+        cfg4.freeze()
+        tuned = DaggerTrainer(cfg4, env_workers=False).eval()
+        out["train_stage2_final"] = metrics2
+        out["eval_stage2"] = tuned
+
     print(json.dumps(out, indent=2, default=float))
 
     # Criteria sized to a ~30-minute CPU run (32 eps, tiny model): the
@@ -105,6 +137,20 @@ def main():
              < base.get("oracle_navigation_error", 99)
              or trained.get("path_length", 0) > 0.5)
     )
+    if args.two_stage:
+        # DAgger must not regress the stage-1 policy, and must improve at
+        # least one headline val metric (the reference's core training
+        # claim, `dagger_trainer.py:291-299,543-678`)
+        tuned, s1 = out["eval_stage2"], out["eval_trained"]
+        better = (
+            tuned.get("success", 0) > s1.get("success", 0)
+            or tuned.get("ndtw", 0) > s1.get("ndtw", 0)
+            or tuned.get("oracle_navigation_error", 99)
+            < s1.get("oracle_navigation_error", 99)
+        )
+        not_worse = (tuned.get("success", 0) >= s1.get("success", 0)
+                     and tuned.get("ndtw", 0) >= s1.get("ndtw", 0) - 0.05)
+        ok = ok and better and not_worse
     print("LEARNING CHECK:", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 
