@@ -10,9 +10,13 @@ Usage: python tools/microbench.py [--batch 6] [--steps 20]
 """
 import argparse
 import functools
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -66,6 +70,15 @@ def main():
         return carry + jnp.sum(out[..., :1])
 
     bench("splat segment_max", splat_segment, jnp.float32(0))
+
+    feats16 = feats.astype(jnp.bfloat16)
+
+    def splat_segment_bf16(i, carry):
+        f = feats16 + 0.001 * i
+        out = projection.splat_to_ground(f, x_gp, y_gp, valid, 100)
+        return carry + jnp.sum(out[..., :1].astype(jnp.float32))
+
+    bench("splat segment_max bf16", splat_segment_bf16, jnp.float32(0))
 
     def splat_sorted(i, carry):
         f = feats + 0.001 * i
@@ -129,6 +142,21 @@ def main():
         return gm
 
     bench("register_and_retrieve windowed", reg, gmap)
+
+    gmap16 = gmap.astype(jnp.bfloat16)
+    proj16 = ego.astype(jnp.bfloat16)
+
+    def reg16(i, gm):
+        _, gm = register_and_retrieve(gm, proj16 + 0.001 * i, gps, compass,
+                                      masks, p_map)
+        return gm
+
+    bench("register_and_retrieve bf16", reg16, gmap16)
+
+    def rot16(i, e):
+        return resample.rotate_about_center(e, ang + 0.001 * i)
+
+    bench("rotate bf16 (100^2x64)", rot16, proj16)
 
     from ws_mgmap_tpu.ops.mapping import register_and_retrieve_reference
 

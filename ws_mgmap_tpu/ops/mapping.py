@@ -43,9 +43,10 @@ class MapperParams(NamedTuple):
     global_size: int = 240
     map_depth: int = 64
     depth_scale: float = 10.0  # habitat depth in [0,1] x10 -> meters
-    # ground-splat implementation: "xla" (segment_max scatter) or "pallas"
-    # (VMEM-accumulator kernel with invalid-pixel skipping; see PERF.md)
-    splat_backend: str = "xla"
+    # ground-splat implementation: "auto" (Pallas interleaved-accumulator
+    # kernel on accelerators — 2.5x over XLA's scatter, see PERF.md — with
+    # XLA segment_max elsewhere), or force "xla"/"pallas"
+    splat_backend: str = "auto"
 
     @property
     def coordinate_min(self) -> float:

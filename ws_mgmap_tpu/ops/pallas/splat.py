@@ -2,16 +2,20 @@
 
 Alternative backend for :func:`ws_mgmap_tpu.ops.projection.splat_to_ground`
 (the torch_scatter.scatter_max replacement, reference
-`rgb_mapping.py:179-232`). Keeps the per-cell max accumulator resident in
-VMEM (100x100x64 fp32 = 2.5 MB) and streams pixel chunks through a serial
-read-modify-write loop; cell ids ride as scalar-prefetch data in SMEM so the
-row addresses are known to the scalar core ahead of the vector ops.
+`rgb_mapping.py:179-232`).
 
-Measured on v5e (see PERF.md): XLA's native scatter lowering wins at the
-production shape (50k pixels x 64ch), so `ops.projection` keeps
-`jax.ops.segment_max` as the default; this kernel is the documented design
-point and becomes profitable for narrower channel counts / fewer pixels.
-Select with ``splat_backend="pallas"``.
+Design (v3): grid = (batch, pixel-chunks). The per-cell max accumulator
+lives in VMEM as **n_acc independent copies**; pixel q updates copy
+q % n_acc. A scatter's cost on TPU is the serialized read-modify-write
+dependency chain — with a single accumulator the compiler must assume any
+dynamic row store may alias the next dynamic load, so updates issue at full
+RMW latency. With separate scratch refs the n_acc updates per unrolled
+group are provably independent and overlap. Invalid pixels (id < 0) are
+redirected branch-free to a trash row past the real cells (cropped by the
+caller) — a predicated skip measured slower than the redundant RMW
+(PERF.md). Cell ids stream through SMEM blocks so the scalar core has the
+addresses; the final chunk of each batch element max-merges the copies
+into that element's output block.
 """
 from __future__ import annotations
 
@@ -27,30 +31,33 @@ Array = jax.Array
 EPS_INVALID = -1e16
 
 
-@functools.partial(jax.jit, static_argnames=("ego_size", "chunk"))
+@functools.partial(jax.jit,
+                   static_argnames=("ego_size", "chunk", "n_acc"))
 def splat_pallas(feats: Array, lin_ids: Array, ego_size: int = 100,
-                 chunk: int = 2048) -> Array:
-    """feats [B, P, C] fp32, lin_ids [B, P] int32 (invalid pre-masked to
-    cell 0 with EPS values, exactly like ops.projection.splat_to_ground).
+                 chunk: int = 1024, n_acc: int = 2) -> Array:
+    """feats [B, P, C], lin_ids [B, P] int32 with invalid pixels marked -1.
 
-    Invalid pixels may be marked with id -1 (skipped entirely) or with
-    id 0 + EPS feature values (the segment_max convention) — both yield the
-    reference semantics. Returns [B, E, E, C] with untouched/eps cells
-    zeroed.
+    Returns [B, E, E, C]; cells with no valid write are 0 (torch_scatter
+    zero-fill + the reference's eps replacement, `rgb_mapping.py:229-230`).
     """
     b, p, c = feats.shape
+    dtype = feats.dtype
     cells = ego_size * ego_size
-    cells_pad = -(-cells // 8) * 8
+    # a trash row band past the real cells absorbs invalid pixels
+    cells_pad = -(-(cells + 1) // 8) * 8
+    trash = cells
     n_chunks = -(-p // chunk)
     p_pad = n_chunks * chunk
     if p_pad != p:
-        # padding ids are -1: skipped by the kernel like invalid pixels
-        feats = jnp.pad(feats, ((0, 0), (0, p_pad - p), (0, 0)),
-                        constant_values=EPS_INVALID)
+        feats = jnp.pad(feats, ((0, 0), (0, p_pad - p), (0, 0)))
         lin_ids = jnp.pad(lin_ids, ((0, 0), (0, p_pad - p)),
                           constant_values=-1)
 
-    # one sample per call: the scalar-prefetched ids (P * 4B) must fit SMEM
+    groups = chunk // n_acc
+    assert groups * n_acc == chunk, (chunk, n_acc)
+
+    # per-sample call: the scalar-prefetched ids (P * 4B ~ 200 KB) live in
+    # SMEM so the scalar core has row addresses ahead of the vector RMWs
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
@@ -60,45 +67,52 @@ def splat_pallas(feats: Array, lin_ids: Array, ego_size: int = 100,
         ],
         out_specs=pl.BlockSpec((cells_pad, c), lambda ci, ids: (0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((cells_pad, c), dtype) for _ in range(n_acc)
+        ],
     )
 
-    def kernel(ids_ref, feats_ref, out_ref):
+    def kernel(ids_ref, feats_ref, out_ref, *accs):
         ci = pl.program_id(0)
 
         @pl.when(ci == 0)
         def _():
-            out_ref[:] = jnp.full_like(out_ref, EPS_INVALID)
+            for acc in accs:
+                acc[:] = jnp.full_like(acc, EPS_INVALID)
 
         def body(q, _):
-            idx = ids_ref[ci * chunk + q]
-
-            # invalid pixels (id -1) only ever carry the EPS sentinel; a
-            # cell receiving nothing stays at the EPS init and is zeroed by
-            # the caller, exactly like an eps-only cell — so skipping them
-            # is semantics-preserving and saves the dominant RMW cost.
-            @pl.when(idx >= 0)
-            def _():
-                row = feats_ref[pl.ds(q, 1), :]
-                cur = out_ref[pl.ds(idx, 1), :]
-                out_ref[pl.ds(idx, 1), :] = jnp.maximum(cur, row)
-
+            base = ci * chunk + q * n_acc
+            # n_acc independent RMWs on separate refs -> no alias hazard,
+            # the loads/stores overlap instead of serializing
+            for g in range(n_acc):
+                idx = ids_ref[base + g]
+                idx = jnp.where(idx < 0, trash, idx)
+                row = feats_ref[pl.ds(q * n_acc + g, 1), :]
+                cur = accs[g][pl.ds(idx, 1), :]
+                accs[g][pl.ds(idx, 1), :] = jnp.maximum(cur, row)
             return 0
 
-        jax.lax.fori_loop(0, chunk, body, 0)
+        jax.lax.fori_loop(0, groups, body, 0)
+
+        @pl.when(ci == n_chunks - 1)
+        def _():
+            merged = accs[0][:]
+            for acc in accs[1:]:
+                merged = jnp.maximum(merged, acc[:])
+            out_ref[:] = merged
 
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cells_pad, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cells_pad, c), dtype),
         interpret=jax.default_backend() == "cpu",
     )
 
-    out = jax.lax.map(
-        lambda args: call(args[0].astype(jnp.int32),
-                          args[1].astype(jnp.float32)),
-        (lin_ids, feats),
-    )
+    # unrolled batch loop: B separate calls keep HBM-resident outputs (a
+    # lax.map carry fused the whole [B, cells, C] stack into VMEM and OOMed)
+    ids32 = lin_ids.astype(jnp.int32)
+    out = jnp.stack([call(ids32[i], feats[i]) for i in range(b)])
 
     out = out[:, :cells, :]
-    out = jnp.where(out <= EPS_INVALID, 0.0, out)
+    out = jnp.where(out <= jnp.asarray(EPS_INVALID, dtype), 0.0, out)
     return out.reshape(b, ego_size, ego_size, c)

@@ -117,8 +117,10 @@ def upsample_bilinear_x2_nhwc(x: Array) -> Array:
     n, h, w, c = x.shape
     uh = jnp.asarray(_upsample_x2_matrix(h)).astype(x.dtype)
     uw = jnp.asarray(_upsample_x2_matrix(w)).astype(x.dtype)
-    # HIGHEST keeps fp32 parity exact; for bf16 inputs it is the native pass
-    out = jnp.einsum("oh,bhwc->bowc", uh, x,
-                     precision=jax.lax.Precision.HIGHEST)
-    return jnp.einsum("ow,bhwc->bhoc", uw, out,
-                      precision=jax.lax.Precision.HIGHEST)
+    # fp32 parity mode needs HIGHEST (single-pass fp32 matmul on TPU would
+    # truncate to bf16); bf16 rollout mode must NOT ask for it — XLA
+    # emulates the precision request and slows the pass ~5x
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    out = jnp.einsum("oh,bhwc->bowc", uh, x, precision=prec)
+    return jnp.einsum("ow,bhwc->bhoc", uw, out, precision=prec)

@@ -114,22 +114,32 @@ def splat_to_ground(
     )
     invalid = ~(valid & in_bounds)
 
-    # Invalid writes go to cell (0, 0) carrying the EPS sentinel
-    # (`rgb_mapping.py:206-212`). Splat in the feature dtype (bf16 rollout
-    # mode keeps the whole chain narrow); compare against the dtype's own
-    # rounding of the sentinel below.
-    lin = jnp.where(invalid, 0, y_gp * ego_size + x_gp)  # [B, Hd, Wd]
-    eps = jnp.asarray(EPS_INVALID, feats.dtype)
-    masked = jnp.where(invalid[..., None], eps, feats)
-
+    # The reference masks invalid pixels to an EPS sentinel and scatters
+    # them to cell (0,0) (`rgb_mapping.py:206-212`), then zeroes eps-only
+    # cells (`:229-230`). Exactly equivalent — and ~2x cheaper on TPU — is
+    # to DROP invalid pixels from the scatter entirely (out-of-range
+    # segment ids are discarded by XLA): valid maxima are unchanged
+    # (eps values never won a max), and cells with no valid writes come
+    # back -inf, zeroed below just like eps-only/untouched cells. This also
+    # removes the full-size eps-masking pass over the feature tensor.
     num_cells = ego_size * ego_size
+    lin = jnp.where(invalid, num_cells, y_gp * ego_size + x_gp)  # [B, Hd, Wd]
+
+    if backend == "auto":
+        # the interleaved-accumulator Pallas kernel beats XLA's scatter
+        # 2.5x on TPU at the production shape (PERF.md); its (1, C) row
+        # RMWs need fp32 rows with full-sublane channel counts
+        on_accel = jax.default_backend() != "cpu"
+        backend = "pallas" if on_accel and c % 64 == 0 else "xla"
 
     if backend == "pallas":
         from ws_mgmap_tpu.ops.pallas.splat import splat_pallas
 
         skip_ids = jnp.where(invalid, -1, y_gp * ego_size + x_gp)
-        return splat_pallas(masked.reshape(b, -1, c),
-                            skip_ids.reshape(b, -1), ego_size=ego_size)
+        out = splat_pallas(
+            feats.reshape(b, -1, c).astype(jnp.float32),
+            skip_ids.reshape(b, -1), ego_size=ego_size)
+        return out.astype(feats.dtype)
 
     def one(feat_flat: Array, ids_flat: Array) -> Array:
         return jax.ops.segment_max(
@@ -137,11 +147,9 @@ def splat_to_ground(
             indices_are_sorted=False, unique_indices=False,
         )
 
-    out = jax.vmap(one)(masked.reshape(b, -1, c), lin.reshape(b, -1))
-    # Untouched segments are -inf from segment_max; eps-only cells are EPS.
-    # Both become 0, matching torch_scatter's zero fill + the reference's
-    # eps replacement (`rgb_mapping.py:229-230`).
-    out = jnp.where(out <= eps, 0.0, out)
+    out = jax.vmap(one)(feats.reshape(b, -1, c), lin.reshape(b, -1))
+    # Untouched segments are -inf; eps replacement as in the reference.
+    out = jnp.where(out <= jnp.asarray(EPS_INVALID, out.dtype), 0.0, out)
     return out.reshape(b, ego_size, ego_size, c)
 
 
