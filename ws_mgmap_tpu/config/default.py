@@ -245,6 +245,8 @@ _C.MODEL.RGB_ENCODER.output_size = 256
 _C.MODEL.RGB_ENCODER.backbone = "unet"
 _C.MODEL.RGB_ENCODER.pretrain_model = (
     "data/pretrain_model/unet-models/2021_02_14-23_42_50.pt")
+# ours: torchvision resnet18 ImageNet state_dict for from-scratch init
+_C.MODEL.RGB_ENCODER.imagenet_resnet18 = "data/pretrain_model/resnet18-imagenet.pth"
 
 _C.MODEL.DEPTH_ENCODER = CN()
 _C.MODEL.DEPTH_ENCODER.output_size = 128

@@ -114,6 +114,26 @@ class DaggerTrainer:
             sd = {f"net.rgb_encoder.base_model.{k}": v for k, v in sd.items()}
             variables, miss, _ = import_torch_state(variables, sd)
             self._log(f"loaded UNet weights from {unet_path}")
+        else:
+            # From-scratch path: the reference seeds UNet/MapDecoder with
+            # ImageNet resnet18 (`unet_encoder.py:34`, `map_encoder.py:75`).
+            imagenet = getattr(cfg.MODEL.RGB_ENCODER, "imagenet_resnet18", "")
+            if imagenet and os.path.exists(imagenet):
+                from ws_mgmap_tpu.utils.convert import import_imagenet_resnet18
+                sd = load_torch_checkpoint(imagenet)
+                variables, n = import_imagenet_resnet18(variables, sd)
+                self._log(f"seeded UNet/MapDecoder backbones from ImageNet "
+                          f"resnet18 ({imagenet}, {n} tensors)")
+            else:
+                import warnings
+                warnings.warn(
+                    "No UNet checkpoint and no ImageNet resnet18 weights "
+                    f"found ({unet_path!r} / {imagenet!r}): the RGB segmenter "
+                    "and map decoder start from RANDOM init. The reference "
+                    "initializes these backbones from ImageNet "
+                    "(unet_encoder.py:34); place a torchvision resnet18 "
+                    "state_dict at MODEL.RGB_ENCODER.imagenet_resnet18 for "
+                    "equivalent from-scratch statistics.", stacklevel=2)
         ddppo_path = cfg.MODEL.DEPTH_ENCODER.ddppo_checkpoint
         if os.path.exists(ddppo_path):
             raw = load_torch_checkpoint(ddppo_path)
@@ -487,4 +507,5 @@ class DaggerTrainer:
             eval_cfg, engine, dataset, gt,
             episode_count=cfg.EVAL.EPISODE_COUNT,
             workers=self.env_workers, log_fn=self._log,
-            metric_dir=metric_dir, checkpoint_index=ckpt_index, split=split)
+            metric_dir=metric_dir, checkpoint_index=ckpt_index, split=split,
+            tb_writer=self._tb())

@@ -182,3 +182,45 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     else:
         sd = blob
     return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+def import_imagenet_resnet18(variables: Mapping[str, Any],
+                             sd: Mapping[str, np.ndarray]):
+    """Seed the UNet + MapDecoder backbones from a torchvision resnet18
+    ImageNet state_dict (from-scratch stage-1 init, reference
+    `unet_encoder.py:34` / `map_encoder.py:75` `pretrained=True`).
+
+    Key remapping (torchvision -> our module paths):
+      conv1/bn1      -> layer0.0 / layer0.1
+      layer1.*       -> layer1.1.*   (maxpool+layer1 live under one module)
+      layer2..layer4 -> unchanged    (UNet only; MapDecoder has no 2..4)
+    The MapDecoder's conv1 is replaced by the reference (256-channel input,
+    `map_encoder.py:76`), so only bn1 + layer1 transfer there.
+    Returns (variables, n_loaded_leaves).
+    """
+    def remap(key: str) -> Optional[str]:
+        if key.startswith("conv1."):
+            return "layer0.0." + key[len("conv1."):]
+        if key.startswith("bn1."):
+            return "layer0.1." + key[len("bn1."):]
+        if key.startswith("layer1."):
+            return "layer1.1." + key[len("layer1."):]
+        if key.startswith(("layer2.", "layer3.", "layer4.")):
+            return key
+        return None  # fc.* / num_batches_tracked: unused
+
+    unet_sd = {}
+    dec_sd = {}
+    for k, v in sd.items():
+        m = remap(k)
+        if m is None:
+            continue
+        unet_sd[f"net.rgb_encoder.base_model.{m}"] = v
+        if m.startswith(("layer0.1.", "layer1.1.")) and not m.startswith(
+                "layer0.0."):
+            dec_sd[f"net.map_decoder.{m}"] = v
+
+    variables, _, unused_u = import_torch_state(variables, unet_sd)
+    variables, _, unused_d = import_torch_state(variables, dec_sd)
+    loaded = (len(unet_sd) - len(unused_u)) + (len(dec_sd) - len(unused_d))
+    return variables, loaded
