@@ -43,3 +43,31 @@ def test_colorizers():
     assert (sem[0] == 255).all()  # free space is white
     heat = colorize_heatmap(np.linspace(0, 1, 576))
     assert heat.shape == (100, 100, 3)
+
+
+def test_generate_video_tensorboard_option(tmp_path):
+    from ws_mgmap_tpu.env.viz import generate_video
+
+    frames = [np.full((32, 48, 3), i * 10, np.uint8) for i in range(5)]
+
+    class FakeTB:
+        calls = []
+
+        def add_video(self, tag, vid, global_step=None, fps=None):
+            self.calls.append((tag, tuple(vid.shape), global_step, fps))
+
+    tb = FakeTB()
+    # tensorboard only: nothing written to disk
+    out = generate_video(str(tmp_path / "v"), frames, episode_id="7",
+                         checkpoint_idx=3, video_option=["tensorboard"],
+                         tb_writer=tb)
+    assert out is None
+    assert tb.calls == [("episode_7", (1, 5, 3, 32, 48), 3, 10)]
+    assert not (tmp_path / "v").exists()
+
+    # both: disk artifact also produced
+    out = generate_video(str(tmp_path / "v"), frames, episode_id="7",
+                         checkpoint_idx=3, video_option=["disk", "tensorboard"],
+                         tb_writer=tb)
+    assert out is not None and os.path.exists(out)
+    assert len(tb.calls) == 2

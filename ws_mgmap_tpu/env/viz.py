@@ -122,13 +122,30 @@ def observations_to_image(
 def generate_video(video_dir: str, frames: List[np.ndarray], episode_id: str,
                    checkpoint_idx: int = 0,
                    metrics: Optional[Dict[str, float]] = None,
-                   fps: int = 10) -> Optional[str]:
-    """Write an episode video (mp4 via cv2; falls back to a PNG directory)."""
+                   fps: int = 10,
+                   video_option: Optional[List[str]] = None,
+                   tb_writer=None) -> Optional[str]:
+    """Write an episode video per `video_option` ("disk" -> mp4 via cv2 with
+    a PNG-directory fallback, "tensorboard" -> SummaryWriter.add_video like
+    the reference's habitat generate_video, `common_trainer.py:384-396`)."""
     if not frames:
         return None
-    os.makedirs(video_dir, exist_ok=True)
+    video_option = list(video_option or ["disk"])
     metric_str = "-".join(f"{k}={v:.2f}" for k, v in (metrics or {}).items())
     name = f"episode={episode_id}-ckpt={checkpoint_idx}-{metric_str}"
+    if "tensorboard" in video_option and tb_writer is not None:
+        try:
+            import torch
+
+            vid = torch.from_numpy(
+                np.stack(frames)).permute(0, 3, 1, 2)[None]  # [1,T,C,H,W]
+            tb_writer.add_video(f"episode_{episode_id}", vid,
+                                global_step=checkpoint_idx, fps=fps)
+        except Exception:
+            pass  # tensorboard video needs torch+moviepy; disk still works
+    if "disk" not in video_option:
+        return None
+    os.makedirs(video_dir, exist_ok=True)
     h, w = frames[0].shape[:2]
     path = os.path.join(video_dir, name + ".avi")
     writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), fps, (w, h))

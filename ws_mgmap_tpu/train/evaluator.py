@@ -28,6 +28,7 @@ def evaluate(
     metric_dir: Optional[str] = None,
     checkpoint_index: int = 0,
     split: str = "val_seen",
+    tb_writer=None,
 ) -> Dict[str, float]:
     episode_count = episode_count or config.EVAL.EPISODE_COUNT
     envs = construct_envs(config, dataset, gt_locations,
@@ -106,7 +107,9 @@ def evaluate(
                         config.VIDEO_DIR, video_frames[slot],
                         episode_id=current_episodes[i].episode_id,
                         checkpoint_idx=checkpoint_index,
-                        metrics={"spl": infos[i].get("spl", 0.0)})
+                        metrics={"spl": infos[i].get("spl", 0.0)},
+                        video_option=list(config.VIDEO_OPTION),
+                        tb_writer=tb_writer)
                     video_frames[slot] = []
                     videos_written += 1
 
