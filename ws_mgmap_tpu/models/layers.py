@@ -153,6 +153,21 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
+        from ws_mgmap_tpu.ops.pallas import conv as pconv
+
+        if (not train and not self.is_initializing()
+                and self.padding == 1
+                and pconv.fused_conv_active(x.shape, x.dtype, self.kernel,
+                                            self.stride)):
+            p0 = self.get_variable("params", "0")
+            p1 = self.get_variable("params", "1")
+            st = self.get_variable("batch_stats", "1")
+            if p0 is not None and p1 is not None and st is not None:
+                scale, bias = pconv.fold_bn(
+                    p0["kernel"], p0.get("bias"), p1["scale"], p1["bias"],
+                    st["mean"], st["var"])
+                return pconv.conv3x3_bn_relu(
+                    x, p0["kernel"].astype(x.dtype), scale, bias, relu=True)
         x = tconv(self.in_c, self.features, self.kernel, self.stride,
                   self.padding, bias=True, name="0")(x)
         x = tbn(train, name="1")(x)

@@ -56,16 +56,19 @@ def splat_pallas(feats: Array, lin_ids: Array, ego_size: int = 100,
     groups = chunk // n_acc
     assert groups * n_acc == chunk, (chunk, n_acc)
 
-    # per-sample call: the scalar-prefetched ids (P * 4B ~ 200 KB) live in
-    # SMEM so the scalar core has row addresses ahead of the vector RMWs
+    # single call, grid (batch, chunks): out/acc blocks stay resident in
+    # VMEM across a sample's chunks and flush once per sample; the
+    # scalar-prefetched ids (B * P * 4B) live in SMEM so the scalar core
+    # has row addresses ahead of the vector RMWs
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_chunks,),
+        grid=(b, n_chunks),
         in_specs=[
-            pl.BlockSpec((chunk, c), lambda ci, ids: (ci, 0),
+            pl.BlockSpec((1, chunk, c), lambda bi, ci, ids: (bi, ci, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((cells_pad, c), lambda ci, ids: (0, 0),
+        out_specs=pl.BlockSpec((1, cells_pad, c),
+                               lambda bi, ci, ids: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((cells_pad, c), dtype) for _ in range(n_acc)
@@ -73,7 +76,8 @@ def splat_pallas(feats: Array, lin_ids: Array, ego_size: int = 100,
     )
 
     def kernel(ids_ref, feats_ref, out_ref, *accs):
-        ci = pl.program_id(0)
+        bi = pl.program_id(0)
+        ci = pl.program_id(1)
 
         @pl.when(ci == 0)
         def _():
@@ -85,9 +89,9 @@ def splat_pallas(feats: Array, lin_ids: Array, ego_size: int = 100,
             # n_acc independent RMWs on separate refs -> no alias hazard,
             # the loads/stores overlap instead of serializing
             for g in range(n_acc):
-                idx = ids_ref[base + g]
+                idx = ids_ref[bi, base + g]
                 idx = jnp.where(idx < 0, trash, idx)
-                row = feats_ref[pl.ds(q * n_acc + g, 1), :]
+                row = feats_ref[0, pl.ds(q * n_acc + g, 1), :]
                 cur = accs[g][pl.ds(idx, 1), :]
                 accs[g][pl.ds(idx, 1), :] = jnp.maximum(cur, row)
             return 0
@@ -99,19 +103,14 @@ def splat_pallas(feats: Array, lin_ids: Array, ego_size: int = 100,
             merged = accs[0][:]
             for acc in accs[1:]:
                 merged = jnp.maximum(merged, acc[:])
-            out_ref[:] = merged
+            out_ref[0] = merged
 
-    call = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cells_pad, c), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, cells_pad, c), dtype),
         interpret=jax.default_backend() == "cpu",
-    )
-
-    # unrolled batch loop: B separate calls keep HBM-resident outputs (a
-    # lax.map carry fused the whole [B, cells, C] stack into VMEM and OOMed)
-    ids32 = lin_ids.astype(jnp.int32)
-    out = jnp.stack([call(ids32[i], feats[i]) for i in range(b)])
+    )(lin_ids.astype(jnp.int32), feats)
 
     out = out[:, :cells, :]
     out = jnp.where(out <= jnp.asarray(EPS_INVALID, dtype), 0.0, out)
