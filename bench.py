@@ -26,18 +26,38 @@ import time
 import numpy as np
 
 
-def _reference_fps() -> float:
+def _reference_model() -> dict:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tools", "reference_baseline.json")
     try:
         with open(path) as f:
-            return float(json.load(f)["derived_v100_map_update_fps"])
+            return json.load(f)
     except Exception:
-        return 203.7  # last derived value (see tools/bench_reference_torch.py)
+        return {"derived_v100_map_update_fps": 203.7}
 
 
-REFERENCE_MAP_UPDATE_FPS = _reference_fps()
+_REF = _reference_model()
+REFERENCE_MAP_UPDATE_FPS = float(_REF["derived_v100_map_update_fps"])
+
+
+def _reference_fps_at(batch: int) -> float:
+    """Scale the V100 roofline derivation to another batch: conv FLOPs and
+    map-chain bytes are linear in B, the eager launch overhead is per-step
+    (see tools/bench_reference_torch.py)."""
+    try:
+        m = _REF["model"]
+        a = m["assumptions"]
+        t_unet = m["unet_conv_flops_per_frame"] * batch / (
+            a["R_CONV_V100_tflops"] * 1e12)
+        t_map = (m["bytes_map_chain_per_step"] / 6.0 * batch) / (
+            a["BW_V100_gbs"] * 1e9) + a["launch_overhead_ms"] / 1e3
+        return batch / (t_unet + t_map)
+    except Exception:
+        return REFERENCE_MAP_UPDATE_FPS
+
+
 BATCH = 6
+BATCH_SCALED = 24  # TPU-efficient env batch (host sim pool sized to match)
 STEPS = 30
 
 
@@ -149,6 +169,34 @@ def main():
     map_fps, act_fps = measure_rollout(jnp.bfloat16)
     map_fps_fp32, act_fps_fp32 = measure_rollout(jnp.float32)
 
+    # -- TPU-efficient batch: same per-chip metric at B=24 ---------------------
+    # The reference runs 6 sim procs/GPU (README.md:80); a TPU chip is fed by
+    # a host sim pool sized to the chip, so the production batch is larger.
+    # Compared against the SAME roofline derivation evaluated at B=24
+    # (the V100 model is FLOP/bytes-linear in B, so its per-frame rate is
+    # nearly flat: see _reference_fps_at).
+    b24 = BATCH_SCALED
+    obs24 = {
+        "instruction": jnp.asarray(
+            np.pad(rng.randint(1, 2504, (b24, 16)), ((0, 0), (0, 184)))),
+        "rgb": jnp.asarray(
+            rng.randint(0, 255, (b24, 224, 224, 3))).astype(jnp.bfloat16),
+        "depth": jnp.asarray(
+            rng.rand(b24, 256, 256, 1).astype(np.float32)).astype(jnp.bfloat16),
+        "gps": jnp.zeros((b24, 2)),
+        "compass": jnp.zeros((b24, 1)),
+    }
+    gmap24 = init_global_map(b24, cfg.mapper, dtype=jnp.bfloat16)
+    v16 = cast_tree(variables, jnp.bfloat16)
+    mk24 = jnp.ones((b24, 1), jnp.bfloat16)
+    timed(lambda: update_map_n(v16, obs24, gmap24, mk24, k1))
+    timed(lambda: update_map_n(v16, obs24, gmap24, mk24, k2))
+    t_short = min(timed(lambda: update_map_n(v16, obs24, gmap24, mk24, k1))
+                  for _ in range(2))
+    t_long = min(timed(lambda: update_map_n(v16, obs24, gmap24, mk24, k2))
+                 for _ in range(2))
+    map_fps_b24 = b24 * STEPS / max(t_long - t_short, 1e-6)
+
     # -- teacher-forcing training throughput -----------------------------------
     # full-size model on a realistic cached-feature batch (stage-1 shape:
     # BATCH_SIZE 8 episodes x ~48 subsampled frames, `dagger_trainer.py:82-83`
@@ -217,6 +265,10 @@ def main():
             "train_batch": [n_ep, t_len],
             "batch": BATCH,
             "baseline_fps": REFERENCE_MAP_UPDATE_FPS,
+            "map_update_fps_b24": round(map_fps_b24, 2),
+            "baseline_fps_b24": round(_reference_fps_at(BATCH_SCALED), 2),
+            "vs_baseline_b24": round(
+                map_fps_b24 / _reference_fps_at(BATCH_SCALED), 3),
             "device": str(jax.devices()[0]),
         },
     }))

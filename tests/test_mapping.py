@@ -181,3 +181,26 @@ def test_windowed_equals_reference_chain():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(ego_a), np.asarray(ego_b),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_windowed_fully_off_map():
+    """A window entirely past the map edge drops all content and retrieves
+    zeros, exactly like the reference's zero-padded warp chain."""
+    bs = 2
+    p = mapping.MapperParams(resolution=0.12, ego_size=10, global_size=24,
+                             map_depth=6)
+    global_map = np.abs(RNG.randn(bs, 24, 24, 6)).astype(np.float32)
+    proj = RNG.randn(bs, 10, 10, 6).astype(np.float32)
+    gps = np.array([[2.9, -2.9], [-3.1, 3.0]], np.float32)  # beyond bounds
+    compass = np.zeros((bs, 1), np.float32)
+    masks = np.ones((bs, 1), np.float32)
+    ego_a, glob_a = mapping.register_and_retrieve(
+        jnp.asarray(global_map), jnp.asarray(proj), jnp.asarray(gps),
+        jnp.asarray(compass), jnp.asarray(masks), p)
+    ego_b, glob_b = mapping.register_and_retrieve_reference(
+        jnp.asarray(global_map), jnp.asarray(proj), jnp.asarray(gps),
+        jnp.asarray(compass), jnp.asarray(masks), p)
+    np.testing.assert_allclose(np.asarray(glob_a), np.asarray(glob_b),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ego_a), np.asarray(ego_b),
+                               atol=1e-5, rtol=1e-5)

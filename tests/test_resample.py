@@ -118,3 +118,15 @@ def test_translate_fast_integer_and_edge_shifts():
         jnp.asarray(to_nhwc(img)), jnp.asarray(tx), jnp.asarray(ty)))
     np.testing.assert_allclose(fast, ref, atol=2e-4)
     assert np.all(fast[2] == 0.0)  # fully out of range -> zeros
+
+
+def test_grid_sample_patch_impl_bitwise_equal():
+    """The one-gather 2x2-patch fetch (TPU hot path) must reproduce the
+    four-tap gather bit-for-bit (same taps, same weights)."""
+    img = rand_img()
+    grid = (RNG.rand(2, 9, 11, 2).astype(np.float32) * 3.0) - 1.5
+    a = np.asarray(resample.grid_sample(
+        jnp.asarray(to_nhwc(img)), jnp.asarray(grid), impl="patch"))
+    b = np.asarray(resample.grid_sample(
+        jnp.asarray(to_nhwc(img)), jnp.asarray(grid), impl="taps"))
+    np.testing.assert_array_equal(a, b)

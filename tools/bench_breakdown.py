@@ -1,0 +1,162 @@
+#!/usr/bin/env python3
+"""Per-stage breakdown of the map-update hot path (bf16 rollout mode).
+
+Stages timed separately (loop-in-jit, see tools/microbench.py):
+  unet        UNet forward @224^2 (fused Pallas decoder-tail convs)
+  mapchain    rgb_mapping_step minus the UNet (projection+splat+register)
+  splat       ground splat alone (Pallas interleaved-accumulator kernel)
+  rotate      ego-map rotation alone (patch-gather grid_sample)
+  step        full update_map (policy.apply) — should ~= unet + mapchain
+"""
+import argparse
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=6)
+    ap.add_argument("--steps", type=int, default=24)
+    ap.add_argument("--stages", default="unet,mapchain,splat,rotate,step")
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ws_mgmap_tpu.models.policy import BasePolicy, MGMapConfig
+    from ws_mgmap_tpu.models.unet import UNet
+    from ws_mgmap_tpu.ops import projection, resample
+    from ws_mgmap_tpu.ops.mapping import init_global_map, rgb_mapping_step
+
+    B = args.batch
+    K1, K2 = 2, 2 + args.steps
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    rng = np.random.RandomState(0)
+    stages = set(args.stages.split(","))
+    print(f"device: {jax.devices()[0]}, batch {B}, {args.dtype}")
+
+    def bench(name, step_fn, carry0):
+        @jax.jit
+        def loop(carry, steps):
+            return lax.fori_loop(0, steps, step_fn, carry)
+
+        def run(k):
+            k = jnp.int32(k)
+            t0 = time.perf_counter()
+            out = loop(carry0, k)
+            leaf = jax.tree.leaves(out)[0]
+            float(np.asarray(jnp.sum(leaf.reshape(-1)[:8]).astype(jnp.float32)))
+            return time.perf_counter() - t0
+
+        run(K1); run(K2)
+        t1 = min(run(K1) for _ in range(3))
+        t2 = min(run(K2) for _ in range(3))
+        ms = (t2 - t1) / (K2 - K1) * 1e3
+        print(f"{name:34s} {ms:8.3f} ms/step  ({B / ms * 1e3:7.1f} frames/s)",
+              flush=True)
+        return ms
+
+    cfg = MGMapConfig()
+    rgb = jnp.asarray(rng.randint(0, 255, (B, 224, 224, 3))).astype(dtype)
+    depth = jnp.asarray(rng.rand(B, 256, 256, 1).astype(np.float32)).astype(dtype)
+    gps = jnp.zeros((B, 2))
+    compass = jnp.asarray(rng.uniform(-3, 3, (B, 1)).astype(np.float32))
+    feats = jnp.asarray(rng.randn(B, 224, 224, 64).astype(np.float32)).astype(dtype)
+    ego = jnp.asarray(rng.rand(B, 100, 100, 64).astype(np.float32)).astype(dtype)
+    masks = jnp.ones((B, 1), dtype)
+    gmap = init_global_map(B, cfg.mapper, dtype=dtype)
+
+    if "unet" in stages:
+        unet = UNet()
+        uv = unet.init(jax.random.PRNGKey(0), rgb.astype(jnp.float32)[:1])
+        uv = jax.tree.map(lambda a: a.astype(dtype)
+                          if jnp.issubdtype(a.dtype, jnp.floating) else a, uv)
+
+        def unet_step(i, c):
+            bn, pf, _ = unet.apply(uv, rgb + i.astype(dtype) * 0.01)
+            return c + jnp.sum(pf[..., :1].astype(jnp.float32))
+
+        bench("unet fwd 224^2", unet_step, jnp.float32(0))
+
+    if "mapchain" in stages:
+        def chain_step(i, carry):
+            gm = carry
+            _, gm = rgb_mapping_step(
+                gm, feats + i.astype(dtype) * 0.001, depth, gps,
+                compass + 0.05 * i, masks, cfg.mapper)
+            return gm
+
+        bench("mapchain (proj+splat+register)", chain_step, gmap)
+
+    if "splat" in stages:
+        d10 = depth.astype(jnp.float32) * 10
+        x_gp, y_gp, valid = projection.spatial_locs(d10, 100, 0.12)
+
+        def splat_step(i, c):
+            out = projection.splat_to_ground(
+                feats + i.astype(dtype) * 0.001, x_gp, y_gp, valid, 100,
+                backend="pallas")
+            return c + jnp.sum(out[..., :1].astype(jnp.float32))
+
+        bench("splat (pallas)", splat_step, jnp.float32(0))
+
+        def splat_xla(i, c):
+            out = projection.splat_to_ground(
+                feats + i.astype(dtype) * 0.001, x_gp, y_gp, valid, 100,
+                backend="xla")
+            return c + jnp.sum(out[..., :1].astype(jnp.float32))
+
+        bench("splat (xla)", splat_xla, jnp.float32(0))
+
+    if "rotate" in stages:
+        ang = compass.reshape(-1)
+
+        def mk_rot(impl):
+            def rot_step(i, c):
+                theta = resample.rotation_theta(ang + 0.05 * i,
+                                                clockwise_xy=True)
+                out = resample.grid_sample(
+                    ego + i.astype(dtype) * 0.001,
+                    resample.affine_grid(theta, 100, 100), impl=impl)
+                return c + jnp.sum(out[..., :1].astype(jnp.float32))
+            return rot_step
+
+        bench("rotate 100^2x64 (patch)", mk_rot("patch"), jnp.float32(0))
+        bench("rotate 100^2x64 (taps)", mk_rot("taps"), jnp.float32(0))
+
+    if "step" in stages:
+        policy = BasePolicy(cfg)
+        obs = {
+            "instruction": jnp.asarray(
+                np.pad(rng.randint(1, 2504, (B, 16)), ((0, 0), (0, 184)))),
+            "rgb": rgb, "depth": depth, "gps": gps, "compass": compass,
+        }
+        hidden = jnp.zeros((2, B, cfg.hidden_size), dtype)
+        variables = jax.jit(lambda key: policy.init(
+            key, obs, hidden, jnp.ones((B, 1), dtype), gmap,
+            method=BasePolicy.act))(jax.random.PRNGKey(0))
+        variables = jax.tree.map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, variables)
+
+        def step_fn(i, gm):
+            o = dict(obs, rgb=rgb + i.astype(dtype) * 0.01,
+                     depth=depth + i.astype(dtype) * 1e-4,
+                     compass=compass + 0.05 * i)
+            _, gm = policy.apply(variables, o, masks, gm,
+                                 method=BasePolicy.update_map)
+            return gm
+
+        bench("full update_map step", step_fn, gmap)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,24 +33,57 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
 
+    def _fused(self, x: Array, conv_name: str, bn_name: str,
+               relu: bool, residual=None):
+        """Pallas fused conv+frozen-BN(+residual)+ReLU; None if unavailable."""
+        from ws_mgmap_tpu.ops.pallas import conv as pconv
+
+        p = self.get_variable("params", conv_name)
+        pb = self.get_variable("params", bn_name)
+        st = self.get_variable("batch_stats", bn_name)
+        if p is None or pb is None or st is None:
+            return None
+        scale, bias = pconv.fold_bn(p["kernel"], None, pb["scale"],
+                                    pb["bias"], st["mean"], st["var"])
+        return pconv.conv3x3_bn_relu(x, p["kernel"].astype(x.dtype), scale,
+                                     bias, relu=relu, residual=residual)
+
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
+        from ws_mgmap_tpu.ops.pallas import conv as pconv
+
+        def fusable(h, stride):
+            return (not train and not self.is_initializing()
+                    and stride == 1
+                    and pconv.fused_conv_active(h.shape, h.dtype, 3, 1))
+
         identity = x
-        out = tconv(self.in_c, self.planes, 3, self.stride, 1, bias=False,
-                    name="conv1")(x)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, name="bn1")(out)
-        out = nn.relu(out)
-        out = tconv(self.planes, self.planes, 3, 1, 1, bias=False,
-                    name="conv2")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, name="bn2")(out)
         if self.stride != 1 or self.in_c != self.planes:
             identity = tconv(self.in_c, self.planes, 1, self.stride, 0,
                              bias=False, name="downsample.0")(x)
             identity = nn.BatchNorm(use_running_average=not train,
                                     momentum=0.9, epsilon=1e-5,
                                     name="downsample.1")(identity)
+
+        out = None
+        if fusable(x, self.stride):
+            out = self._fused(x, "conv1", "bn1", relu=True)
+        if out is None:
+            out = tconv(self.in_c, self.planes, 3, self.stride, 1, bias=False,
+                        name="conv1")(x)
+            out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-5, name="bn1")(out)
+            out = nn.relu(out)
+
+        y = None
+        if fusable(out, 1):
+            y = self._fused(out, "conv2", "bn2", relu=True, residual=identity)
+        if y is not None:
+            return y
+        out = tconv(self.planes, self.planes, 3, 1, 1, bias=False,
+                    name="conv2")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, name="bn2")(out)
         return nn.relu(out + identity)
 
 

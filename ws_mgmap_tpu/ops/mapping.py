@@ -117,32 +117,35 @@ def register_and_retrieve(
     r0 = grid_x.astype(jnp.int32) - e // 2
     c0 = grid_y.astype(jnp.int32) - e // 2
 
-    # halo padding keeps every window in-bounds for |grid - half| <= half;
-    # content fused into the halo is dropped on crop, matching the
+    # Out-of-bounds handling without halo-padding the big global map
+    # (2 pads + crops of [B, 344, 344, C] cost more HBM traffic than the
+    # whole fuse): clamp the window into bounds and counter-shift the ego
+    # patch (integer roll + zero mask — exact). Ego content past the map
+    # edge is dropped and edge reads come back zero, matching the
     # reference's zero-padded grid_sample clipping.
-    pad = e // 2 + 2
-    padded = jnp.pad(global_map,
-                     ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    rc = jnp.clip(r0, 0, g - e)
+    cc = jnp.clip(c0, 0, g - e)
+    dr = r0 - rc
+    dc = c0 - cc
+    ks = jnp.arange(e)
 
-    def fuse_one(pm, ego, r, c):
-        window = jax.lax.dynamic_slice(pm, (r + pad, c + pad, 0),
-                                       (e, e, pm.shape[-1]))
-        fused = jnp.maximum(window, ego)
-        return jax.lax.dynamic_update_slice(pm, fused, (r + pad, c + pad, 0))
+    def shift2d(img, sr, sc):
+        """out[k, l] = img[k - sr, l - sc], zeros outside (exact)."""
+        rolled = jnp.roll(img, shift=(sr, sc), axis=(0, 1))
+        rmask = (ks - sr >= 0) & (ks - sr < e)
+        cmask = (ks - sc >= 0) & (ks - sc < e)
+        keep = rmask[:, None, None] & cmask[None, :, None]
+        return jnp.where(keep, rolled, 0)
 
-    padded = jax.vmap(fuse_one)(padded, ego_proj, r0, c0)
-    new_global = padded[:, pad:-pad, pad:-pad, :]
+    def fuse_one(gm, ego, r, c, sr, sc):
+        window = jax.lax.dynamic_slice(gm, (r, c, 0), (e, e, gm.shape[-1]))
+        fused = jnp.maximum(window, shift2d(ego, sr, sc))
+        gm = jax.lax.dynamic_update_slice(gm, fused, (r, c, 0))
+        # retrieval == the fused window read back at the unclamped origin
+        return gm, shift2d(fused, -sr, -sc)
 
-    # retrieval: the reference's inverse-translate + center-crop equals the
-    # fused window read back through the (zero) halo
-    zeroed = jnp.pad(new_global,
-                     ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-
-    def read_one(pm, r, c):
-        return jax.lax.dynamic_slice(pm, (r + pad, c + pad, 0),
-                                     (e, e, pm.shape[-1]))
-
-    crop = jax.vmap(read_one)(zeroed, r0, c0)
+    new_global, crop = jax.vmap(fuse_one)(global_map, ego_proj, rc, cc,
+                                          dr, dc)
     ego_map = resample.rotate_about_center(crop, compass)
 
     return ego_map, new_global

@@ -48,7 +48,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _vmem_bytes(bh: int, wd: int, ci: int, co: int, itemsize: int,
-                impl: str = "im2col") -> int:
+                impl: str = "im2col", res: bool = False) -> int:
     """Estimate scoped-VMEM for one step incl. Mosaic lane padding to 128."""
     cp = _round_up(ci, 128)
     np_ = _round_up(co, 128)
@@ -60,17 +60,19 @@ def _vmem_bytes(bh: int, wd: int, ci: int, co: int, itemsize: int,
     wmat = 9 * cp * np_ * itemsize
     patches = bh * wd * _round_up(9 * ci, 128) * itemsize \
         if impl == "im2col" else 0
-    return win + lastrow + x_pipe + out_pipe + acc + wmat + patches
+    res_pipe = 2 * bh * wd * np_ * itemsize if res else 0
+    return win + lastrow + x_pipe + out_pipe + acc + wmat + patches + res_pipe
 
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB scoped cap
 
 
 def _pick_bh(h: int, wd: int = 0, ci: int = 0, co: int = 0,
-             itemsize: int = 2, impl: str = "im2col") -> int:
+             itemsize: int = 2, impl: str = "im2col",
+             res: bool = False) -> int:
     for bh in (16, 14, 8, 7, 4, 2, 1):
         if h % bh == 0 and (not wd or _vmem_bytes(bh, wd, ci, co, itemsize,
-                                                  impl) <= _VMEM_BUDGET):
+                                                  impl, res) <= _VMEM_BUDGET):
             return bh
     return 1
 
@@ -78,18 +80,22 @@ def _pick_bh(h: int, wd: int = 0, ci: int = 0, co: int = 0,
 @functools.partial(jax.jit, static_argnames=("relu", "bh", "impl"))
 def conv3x3_bn_relu(x: Array, w: Array, scale: Array, bias: Array,
                     relu: bool = True, bh: int | None = None,
-                    impl: str = "im2col") -> Array:
-    """y = [relu](conv3x3_same_s1(x, w) * scale + bias), NHWC.
+                    impl: str = "im2col",
+                    residual: Array | None = None) -> Array:
+    """y = [relu](conv3x3_same_s1(x, w) * scale + bias [+ residual]), NHWC.
 
     Args:
       x: [B, H, W, Cin] (bf16 or fp32).
       w: [3, 3, Cin, Cout] (HWIO, conv bias folded into `bias`).
       scale, bias: [Cout] fp32 per-channel epilogue (use :func:`fold_bn`).
+      residual: optional [B, H, W, Cout] skip added before the ReLU
+        (resnet BasicBlock epilogue, `models/resnet.py`).
     """
     b, h, wd, ci = x.shape
     co = w.shape[-1]
     if bh is None:
-        bh = _pick_bh(h, wd, ci, co, jnp.dtype(x.dtype).itemsize, impl)
+        bh = _pick_bh(h, wd, ci, co, jnp.dtype(x.dtype).itemsize, impl,
+                      residual is not None)
     assert h % bh == 0, (h, bh)
     n_tiles = h // bh
     dtype = x.dtype
@@ -112,12 +118,25 @@ def conv3x3_bn_relu(x: Array, w: Array, scale: Array, bias: Array,
         pl.BlockSpec((1, co), lambda bi, i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    operands = [x, wmat, scale2, bias2]
+    if residual is not None:
+        # residual tile for *output* block i-1 (lags the x stream by one)
+        in_specs.append(pl.BlockSpec(
+            (1, bh, wd, co),
+            lambda bi, i: (bi, jnp.maximum(i - 1, 0), 0, 0),
+            memory_space=pltpu.VMEM))
+        operands.append(residual.astype(dtype))
     out_spec = pl.BlockSpec(
         (1, bh, wd, co),
         lambda bi, i: (bi, jnp.maximum(i - 1, 0), 0, 0),
         memory_space=pltpu.VMEM)
 
-    def kernel(x_ref, w_ref, s_ref, b_ref, o_ref, win, lastrow):
+    def kernel(x_ref, w_ref, s_ref, b_ref, *rest):
+        if residual is not None:
+            res_ref, o_ref, win, lastrow = rest
+        else:
+            o_ref, win, lastrow = rest
+            res_ref = None
         i = pl.program_id(1)
         cur = x_ref[0]  # [bh, W, Ci]
 
@@ -155,6 +174,8 @@ def conv3x3_bn_relu(x: Array, w: Array, scale: Array, bias: Array,
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
             y = acc * s_ref[:] + b_ref[:]
+            if res_ref is not None:
+                y = y + res_ref[0].astype(jnp.float32).reshape(bh * wd, co)
             if relu:
                 y = jnp.maximum(y, 0.0)
             o_ref[0] = y.astype(dtype).reshape(bh, wd, co)
@@ -187,7 +208,7 @@ def conv3x3_bn_relu(x: Array, w: Array, scale: Array, bias: Array,
                                                                  dtype),
             transcendentals=0),
         interpret=jax.default_backend() == "cpu",
-    )(x, wmat, scale2, bias2)
+    )(*operands)
     return out
 
 

@@ -57,58 +57,75 @@ def splat_pallas(feats: Array, lin_ids: Array, ego_size: int = 100,
     assert groups * n_acc == chunk, (chunk, n_acc)
 
     # single call, grid (batch, chunks): out/acc blocks stay resident in
-    # VMEM across a sample's chunks and flush once per sample; the
-    # scalar-prefetched ids (B * P * 4B) live in SMEM so the scalar core
-    # has row addresses ahead of the vector RMWs
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, chunk, c), lambda bi, ci, ids: (bi, ci, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, cells_pad, c),
-                               lambda bi, ci, ids: (bi, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((cells_pad, c), dtype) for _ in range(n_acc)
-        ],
-    )
+    # VMEM across a sample's chunks and flush once per sample; the ids
+    # stream through SMEM one chunk (4 KB) at a time so the scalar core
+    # has row addresses ahead of the vector RMWs (the whole [B, P] id
+    # array would blow the 1 MB SMEM as a scalar-prefetch operand)
+    grid = (b, n_chunks)
+    in_specs = [
+        # SMEM blocks need the sublane dim whole: ship the chunk's ids for
+        # ALL samples (b * chunk * 4 B ~ 24 KB), index the live row by bi
+        pl.BlockSpec((b, chunk), lambda bi, ci: (0, ci),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, chunk, c), lambda bi, ci: (bi, ci, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = pl.BlockSpec((1, cells_pad, c),
+                             lambda bi, ci: (bi, 0, 0),
+                             memory_space=pltpu.VMEM)
 
-    def kernel(ids_ref, feats_ref, out_ref, *accs):
+    def kernel(ids_ref, feats_ref, out_ref, *scratch):
         bi = pl.program_id(0)
         ci = pl.program_id(1)
 
+        # the resident output block doubles as accumulator copy 0 — one
+        # fewer grid-size VMEM buffer (B=24 blew the scoped limit otherwise)
         @pl.when(ci == 0)
         def _():
-            for acc in accs:
-                acc[:] = jnp.full_like(acc, EPS_INVALID)
+            full = jnp.full((cells_pad, c), EPS_INVALID, dtype)
+            out_ref[0] = full
+            for acc in scratch:
+                acc[:] = full
+
+        def load(g, idx):
+            if g == 0:
+                return out_ref[0, pl.ds(idx, 1), :]
+            return scratch[g - 1][pl.ds(idx, 1), :]
+
+        def store(g, idx, val):
+            if g == 0:
+                out_ref[0, pl.ds(idx, 1), :] = val
+            else:
+                scratch[g - 1][pl.ds(idx, 1), :] = val
 
         def body(q, _):
-            base = ci * chunk + q * n_acc
             # n_acc independent RMWs on separate refs -> no alias hazard,
             # the loads/stores overlap instead of serializing
             for g in range(n_acc):
-                idx = ids_ref[bi, base + g]
+                idx = ids_ref[bi, q * n_acc + g]
                 idx = jnp.where(idx < 0, trash, idx)
                 row = feats_ref[0, pl.ds(q * n_acc + g, 1), :]
-                cur = accs[g][pl.ds(idx, 1), :]
-                accs[g][pl.ds(idx, 1), :] = jnp.maximum(cur, row)
+                store(g, idx, jnp.maximum(load(g, idx), row))
             return 0
 
         jax.lax.fori_loop(0, groups, body, 0)
 
         @pl.when(ci == n_chunks - 1)
         def _():
-            merged = accs[0][:]
-            for acc in accs[1:]:
+            merged = out_ref[0]
+            for acc in scratch:
                 merged = jnp.maximum(merged, acc[:])
             out_ref[0] = merged
 
     out = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=jax.ShapeDtypeStruct((b, cells_pad, c), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((cells_pad, c), dtype) for _ in range(n_acc - 1)
+        ],
         interpret=jax.default_backend() == "cpu",
     )(lin_ids.astype(jnp.int32), feats)
 

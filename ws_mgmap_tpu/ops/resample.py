@@ -58,6 +58,7 @@ def grid_sample(
     grid: Array,
     mode: str = "bilinear",
     align_corners: bool = False,
+    impl: str = "taps",
 ) -> Array:
     """Torch-compatible ``F.grid_sample`` (zeros padding) on NHWC images.
 
@@ -65,6 +66,12 @@ def grid_sample(
       img:  [N, H, W, C] source.
       grid: [N, Ho, Wo, 2] sampling locations, (...,0)=x, (...,1)=y in [-1,1].
       mode: "bilinear" or "nearest".
+      impl: bilinear tap fetch — "taps" (default): four independent row
+        gathers; "patch": ONE lax.gather of 2x2xC patches from a
+        zero-padded copy. Identical taps and weights -> bitwise-equal
+        outputs (tested in test_resample.py). Measured on v5e the row
+        gathers win (0.88 vs 1.39 ms at [6,100,100,64] fp32): XLA lowers
+        the 2x2xC slice gather with padded (8,128) tiles per slice.
     Returns:
       [N, Ho, Wo, C] resampled image.
     """
@@ -101,10 +108,36 @@ def grid_sample(
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    v00 = gather(y0i, x0i)
-    v01 = gather(y0i, x0i + 1)
-    v10 = gather(y0i + 1, x0i)
-    v11 = gather(y0i + 1, x0i + 1)
+    if impl == "patch":
+        # one-cell zero pad supplies the border taps; anything sampling
+        # beyond the pad is fully outside the image -> masked to zero,
+        # exactly torch's zeros padding
+        padded = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        ho, wo = ix.shape[1:3]
+        starts = jnp.stack(
+            [(y0i + 1).reshape(n, -1), (x0i + 1).reshape(n, -1)], axis=-1)
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+            start_index_map=(0, 1))
+
+        def one(im, st):
+            return jax.lax.gather(
+                im, st, dnums, slice_sizes=(2, 2, c),
+                mode=jax.lax.GatherScatterMode.CLIP)
+
+        patch = jax.vmap(one)(padded, starts)  # [N, Ho*Wo, 2, 2, C]
+        patch = patch.reshape(n, ho, wo, 2, 2, c)
+        inside = ((ix > -1.0) & (ix < w) & (iy > -1.0) & (iy < h))
+        patch = jnp.where(inside[..., None, None, None], patch, 0.0)
+        v00 = patch[..., 0, 0, :]
+        v01 = patch[..., 0, 1, :]
+        v10 = patch[..., 1, 0, :]
+        v11 = patch[..., 1, 1, :]
+    else:
+        v00 = gather(y0i, x0i)
+        v01 = gather(y0i, x0i + 1)
+        v10 = gather(y0i + 1, x0i)
+        v11 = gather(y0i + 1, x0i + 1)
 
     top = v00 * (1.0 - wx) + v01 * wx
     bot = v10 * (1.0 - wx) + v11 * wx
