@@ -139,9 +139,13 @@ def main():
                 np.pad(rng.randint(1, 2504, (B, 16)), ((0, 0), (0, 184)))),
             "rgb": rgb, "depth": depth, "gps": gps, "compass": compass,
         }
-        hidden = jnp.zeros((2, B, cfg.hidden_size), dtype)
+        # init traces in fp32 (fresh params are fp32); cast afterwards
+        obs32 = {k: v.astype(jnp.float32)
+                 if jnp.issubdtype(v.dtype, jnp.floating) else v
+                 for k, v in obs.items()}
         variables = jax.jit(lambda key: policy.init(
-            key, obs, hidden, jnp.ones((B, 1), dtype), gmap,
+            key, obs32, jnp.zeros((2, B, cfg.hidden_size)),
+            jnp.ones((B, 1)), gmap.astype(jnp.float32),
             method=BasePolicy.act))(jax.random.PRNGKey(0))
         variables = jax.tree.map(
             lambda a: a.astype(dtype)
