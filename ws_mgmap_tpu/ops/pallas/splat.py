@@ -4,7 +4,7 @@ Alternative backend for :func:`ws_mgmap_tpu.ops.projection.splat_to_ground`
 (the torch_scatter.scatter_max replacement, reference
 `rgb_mapping.py:179-232`).
 
-Design (v3): grid = (batch, pixel-chunks). The per-cell max accumulator
+Design (v4): grid = (batch, pixel-chunks). The per-cell max accumulator
 lives in VMEM as **n_acc independent copies**; pixel q updates copy
 q % n_acc. A scatter's cost on TPU is the serialized read-modify-write
 dependency chain — with a single accumulator the compiler must assume any
@@ -16,6 +16,12 @@ caller) — a predicated skip measured slower than the redundant RMW
 (PERF.md). Cell ids stream through SMEM blocks so the scalar core has the
 addresses; the final chunk of each batch element max-merges the copies
 into that element's output block.
+
+Accumulation is always fp32 (Mosaic cannot lower dynamic (1, C) bf16 row
+RMWs). bf16 inputs are NOT pre-cast by the caller: each chunk block is
+cast to fp32 inside the kernel (one vector pass through a (chunk, C)
+scratch), which removes the full-feature-map fp32 materialization in HBM
+that the bf16 rollout path otherwise pays.
 """
 from __future__ import annotations
 
@@ -34,14 +40,17 @@ EPS_INVALID = -1e16
 @functools.partial(jax.jit,
                    static_argnames=("ego_size", "chunk", "n_acc"))
 def splat_pallas(feats: Array, lin_ids: Array, ego_size: int = 100,
-                 chunk: int = 1024, n_acc: int = 2) -> Array:
-    """feats [B, P, C], lin_ids [B, P] int32 with invalid pixels marked -1.
+                 chunk: int = 1024, n_acc: int = 4) -> Array:
+    """feats [B, P, C] (fp32 or bf16), lin_ids [B, P] int32 with invalid
+    pixels marked -1.
 
-    Returns [B, E, E, C]; cells with no valid write are 0 (torch_scatter
-    zero-fill + the reference's eps replacement, `rgb_mapping.py:229-230`).
+    Returns [B, E, E, C] **fp32**; cells with no valid write are 0
+    (torch_scatter zero-fill + the reference's eps replacement,
+    `rgb_mapping.py:229-230`).
     """
     b, p, c = feats.shape
-    dtype = feats.dtype
+    acc = jnp.float32
+    cast_in = feats.dtype != acc
     cells = ego_size * ego_size
     # a trash row band past the real cells absorbs invalid pixels
     cells_pad = -(-(cells + 1) // 8) * 8
@@ -77,15 +86,23 @@ def splat_pallas(feats: Array, lin_ids: Array, ego_size: int = 100,
     def kernel(ids_ref, feats_ref, out_ref, *scratch):
         bi = pl.program_id(0)
         ci = pl.program_id(1)
+        if cast_in:
+            *scratch, cast_ref = scratch
+            # one vector pass: the chunk's bf16 rows -> fp32 scratch, so
+            # the dynamic row loads below stay fp32 (Mosaic-lowerable)
+            cast_ref[:] = feats_ref[0].astype(acc)
+            rows = cast_ref
+        else:
+            rows = None
 
         # the resident output block doubles as accumulator copy 0 — one
         # fewer grid-size VMEM buffer (B=24 blew the scoped limit otherwise)
         @pl.when(ci == 0)
         def _():
-            full = jnp.full((cells_pad, c), EPS_INVALID, dtype)
+            full = jnp.full((cells_pad, c), EPS_INVALID, acc)
             out_ref[0] = full
-            for acc in scratch:
-                acc[:] = full
+            for a in scratch:
+                a[:] = full
 
         def load(g, idx):
             if g == 0:
@@ -104,7 +121,10 @@ def splat_pallas(feats: Array, lin_ids: Array, ego_size: int = 100,
             for g in range(n_acc):
                 idx = ids_ref[bi, q * n_acc + g]
                 idx = jnp.where(idx < 0, trash, idx)
-                row = feats_ref[0, pl.ds(q * n_acc + g, 1), :]
+                if cast_in:
+                    row = rows[pl.ds(q * n_acc + g, 1), :]
+                else:
+                    row = feats_ref[0, pl.ds(q * n_acc + g, 1), :]
                 store(g, idx, jnp.maximum(load(g, idx), row))
             return 0
 
@@ -113,22 +133,25 @@ def splat_pallas(feats: Array, lin_ids: Array, ego_size: int = 100,
         @pl.when(ci == n_chunks - 1)
         def _():
             merged = out_ref[0]
-            for acc in scratch:
-                merged = jnp.maximum(merged, acc[:])
+            for a in scratch:
+                merged = jnp.maximum(merged, a[:])
             out_ref[0] = merged
+
+    scratch_shapes = [pltpu.VMEM((cells_pad, c), acc)
+                      for _ in range(n_acc - 1)]
+    if cast_in:
+        scratch_shapes.append(pltpu.VMEM((chunk, c), acc))
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=jax.ShapeDtypeStruct((b, cells_pad, c), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((cells_pad, c), dtype) for _ in range(n_acc - 1)
-        ],
+        out_shape=jax.ShapeDtypeStruct((b, cells_pad, c), acc),
+        scratch_shapes=scratch_shapes,
         interpret=jax.default_backend() == "cpu",
     )(lin_ids.astype(jnp.int32), feats)
 
     out = out[:, :cells, :]
-    out = jnp.where(out <= jnp.asarray(EPS_INVALID, dtype), 0.0, out)
+    out = jnp.where(out <= jnp.asarray(EPS_INVALID, acc), 0.0, out)
     return out.reshape(b, ego_size, ego_size, c)

@@ -136,9 +136,11 @@ def splat_to_ground(
         from ws_mgmap_tpu.ops.pallas.splat import splat_pallas
 
         skip_ids = jnp.where(invalid, -1, y_gp * ego_size + x_gp)
+        # bf16 feats go in natively — the kernel casts each chunk block to
+        # fp32 in VMEM, skipping a full-feature-map fp32 round-trip in HBM
         out = splat_pallas(
-            feats.reshape(b, -1, c).astype(jnp.float32),
-            skip_ids.reshape(b, -1), ego_size=ego_size)
+            feats.reshape(b, -1, c), skip_ids.reshape(b, -1),
+            ego_size=ego_size)
         return out.astype(feats.dtype)
 
     def one(feat_flat: Array, ids_flat: Array) -> Array:
