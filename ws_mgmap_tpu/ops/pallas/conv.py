@@ -66,10 +66,22 @@ def _vmem_bytes(bh: int, wd: int, ci: int, co: int, itemsize: int,
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB scoped cap
 
+# Measured-fastest row-tile heights on v5e (tools/bench_conv2.py sweeps;
+# PERF.md). Keyed by (H, Cin): e.g. the 64->64 @224^2 decoder conv runs
+# 2.3x faster at bh=32 than at the generic bh=16 even though the static
+# VMEM estimate is pessimistic for it (compiles and runs fine).
+_BH_TABLE = {
+    (224, 64): 32,
+    (224, 192): 8,
+}
+
 
 def _pick_bh(h: int, wd: int = 0, ci: int = 0, co: int = 0,
              itemsize: int = 2, impl: str = "im2col",
              res: bool = False) -> int:
+    tuned = _BH_TABLE.get((h, ci))
+    if tuned and h % tuned == 0 and impl == "im2col":
+        return tuned
     for bh in (16, 14, 8, 7, 4, 2, 1):
         if h % bh == 0 and (not wd or _vmem_bytes(bh, wd, ci, co, itemsize,
                                                   impl, res) <= _VMEM_BUDGET):
@@ -222,8 +234,10 @@ def fused_conv_eligible(x_shape, kernel: int, stride: int,
     and a spatial extent worth a kernel launch."""
     if kernel != 3 or stride != 1 or groups != 1:
         return False
-    _, h, w, _ = x_shape
-    return h >= 8 and w >= 8 and h % _pick_bh(h) == 0
+    _, h, w, ci = x_shape
+    # ci < 8 (the RGB stem): VMEM pads lanes 3->128, inflating the streamed
+    # bytes 43x — XLA's conv wins there (0.31 vs 0.64 ms @224^2, measured)
+    return ci >= 8 and h >= 8 and w >= 8 and h % _pick_bh(h) == 0
 
 
 _MODE = "auto"  # "auto": bf16-on-accelerator only | "on" | "off"
