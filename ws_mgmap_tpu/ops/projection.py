@@ -39,6 +39,7 @@ def spatial_locs(
     ego_size: int,
     local_scale: float,
     fov_deg: float = 90.0,
+    out_hw: Tuple[int, int] | None = None,
 ) -> Tuple[Array, Array, Array]:
     """Back-project a depth map to ego-grid cell coordinates.
 
@@ -47,8 +48,15 @@ def spatial_locs(
         see reference `rgb_mapping.py:37`).
       ego_size: egocentric map size in cells (100).
       local_scale: meters per cell (0.12).
+      out_hw: optional (Hf, Wf) feature resolution. When set, the depth is
+        index-subsampled to it FIRST (`rgb_mapping.py:189-193` semantics)
+        and the pinhole math runs at feature resolution — bitwise identical
+        to computing at depth resolution and subsampling after (the same
+        elementwise ops on the same values), but gathers one [B,Hf,Wf]
+        array instead of three and skips the math on dropped pixels.
     Returns:
-      (x_gp, y_gp, valid): each [B, H, W]; integer cell coords and validity.
+      (x_gp, y_gp, valid): each [B, out H, out W]; integer cell coords and
+      validity.
     """
     b, h, w, _ = depth.shape
     z = depth[..., 0]  # [B, H, W]
@@ -59,10 +67,17 @@ def spatial_locs(
     fx = (h / 2.0) / jnp.tan(jnp.deg2rad(fov_deg / 2.0))
     fy = (w / 2.0) / jnp.tan(jnp.deg2rad(fov_deg / 2.0))
 
-    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]          # [1,1,W]
-    ys = jnp.arange(h, 0, -1, dtype=jnp.float32)[None, :, None]   # [1,H,1]
-    xx = (xs - cx) / fx
-    yy = (ys - cy) / fy
+    xs = jnp.arange(w, dtype=jnp.float32)                         # [W]
+    ys = jnp.arange(h, 0, -1, dtype=jnp.float32)                  # [H]
+    if out_hw is not None and out_hw != (h, w):
+        oh, ow = out_hw
+        iy = _subsample_indices(h, oh)
+        ix = _subsample_indices(w, ow)
+        z = z[:, iy[:, None], ix[None, :]]
+        xs = xs[ix]
+        ys = ys[iy]
+    xx = ((xs - cx) / fx)[None, None, :]                          # [1,1,W']
+    yy = ((ys - cy) / fy)[None, :, None]                          # [1,H',1]
 
     x3d = xx * z
     y3d = yy * z
@@ -171,6 +186,7 @@ def project_egocentric(
     ``heading = -compass`` exactly like `Mapping.project_feat_to_map`
     (`rgb_mapping.py:37`).
     """
-    x_gp, y_gp, valid = spatial_locs(depth_m, ego_size, local_scale)
+    x_gp, y_gp, valid = spatial_locs(depth_m, ego_size, local_scale,
+                                     out_hw=feats.shape[1:3])
     grid = splat_to_ground(feats, x_gp, y_gp, valid, ego_size, backend)
     return rotate_about_center(grid, heading)
