@@ -126,9 +126,13 @@ def main():
         return lax.fori_loop(0, steps, body,
                              (hidden, gmap, jnp.zeros((BATCH, 2))))
 
+    from ws_mgmap_tpu.ops.pallas.tuning import with_compile_fallback
+
     def timed(fn):
+        # aggressive kernel params first; if this compile lands on a pool
+        # worker with strict VMEM accounting, retry conservative (tuning.py)
         t0 = time.perf_counter()
-        out = fn()
+        out = with_compile_fallback(fn)
         host_sync(out if isinstance(out, jnp.ndarray) else out[-1])
         return time.perf_counter() - t0
 

@@ -79,7 +79,9 @@ _BH_TABLE = {
 def _pick_bh(h: int, wd: int = 0, ci: int = 0, co: int = 0,
              itemsize: int = 2, impl: str = "im2col",
              res: bool = False) -> int:
-    tuned = _BH_TABLE.get((h, ci))
+    from ws_mgmap_tpu.ops.pallas import tuning
+
+    tuned = None if tuning.safe_mode() else _BH_TABLE.get((h, ci))
     if tuned and h % tuned == 0 and impl == "im2col":
         return tuned
     for bh in (16, 14, 8, 7, 4, 2, 1):

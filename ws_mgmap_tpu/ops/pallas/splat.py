@@ -40,14 +40,21 @@ EPS_INVALID = -1e16
 @functools.partial(jax.jit,
                    static_argnames=("ego_size", "chunk", "n_acc"))
 def splat_pallas(feats: Array, lin_ids: Array, ego_size: int = 100,
-                 chunk: int = 1024, n_acc: int = 4) -> Array:
+                 chunk: int = 1024, n_acc: int | None = None) -> Array:
     """feats [B, P, C] (fp32 or bf16), lin_ids [B, P] int32 with invalid
     pixels marked -1.
+
+    n_acc=None resolves to 4 (fastest measured) or 2 under
+    :func:`tuning.safe_mode` (fits every pool worker's VMEM accounting).
 
     Returns [B, E, E, C] **fp32**; cells with no valid write are 0
     (torch_scatter zero-fill + the reference's eps replacement,
     `rgb_mapping.py:229-230`).
     """
+    if n_acc is None:
+        from ws_mgmap_tpu.ops.pallas import tuning
+
+        n_acc = 2 if tuning.safe_mode() else 4
     b, p, c = feats.shape
     acc = jnp.float32
     cast_in = feats.dtype != acc

@@ -20,6 +20,7 @@ import numpy as np
 
 from ws_mgmap_tpu.models.policy import BasePolicy
 from ws_mgmap_tpu.ops.mapping import init_global_map
+from ws_mgmap_tpu.ops.pallas.tuning import with_compile_fallback
 
 
 class RolloutEngine:
@@ -128,9 +129,12 @@ class RolloutEngine:
     # -- steps ---------------------------------------------------------------
     def act(self, obs_batch: Dict[str, jnp.ndarray], masks: np.ndarray,
             deterministic: bool = True):
-        out = self._act(self.variables, obs_batch, self.hidden,
-                        self.global_map,
-                        jnp.asarray(masks, np.float32).astype(self.dtype))
+        # compile fallback: aggressive kernel params first, conservative on
+        # a pool worker that rejects their VMEM footprint (tuning.py)
+        out = with_compile_fallback(
+            self._act, self.variables, obs_batch, self.hidden,
+            self.global_map,
+            jnp.asarray(masks, np.float32).astype(self.dtype))
         self.hidden = out.hidden
         self.global_map = out.global_map
         self.prog = np.asarray(out.prog, np.float32)
@@ -138,7 +142,7 @@ class RolloutEngine:
 
     def update_map(self, obs_batch: Dict[str, jnp.ndarray],
                    masks: np.ndarray):
-        ego_map, self.global_map = self._update_map(
-            self.variables, obs_batch, self.global_map,
+        ego_map, self.global_map = with_compile_fallback(
+            self._update_map, self.variables, obs_batch, self.global_map,
             jnp.asarray(masks, np.float32).astype(self.dtype))
         return ego_map
