@@ -84,9 +84,13 @@ def main():
     trainer = DaggerTrainer(cfg, env_workers=False)
     metrics = trainer.train()
 
-    # trained eval
+    # trained eval — the final stage-1 checkpoint. Point at the FILE, not
+    # the folder: a folder engages production poll-forever mode
+    # (`common_trainer.py:210-226` semantics) and never returns here.
+    from ws_mgmap_tpu.train import checkpoint as _ckpt_lib
     cfg2 = cfg.clone(); cfg2.defrost()
-    cfg2.EVAL_CKPT_PATH_DIR = cfg.CHECKPOINT_FOLDER
+    cfg2.EVAL_CKPT_PATH_DIR = _ckpt_lib.latest_checkpoint(
+        cfg.CHECKPOINT_FOLDER)
     cfg2.freeze()
     trained = DaggerTrainer(cfg2, env_workers=False).eval()
 
