@@ -115,11 +115,18 @@ def main():
 
     @jax.jit
     def act_n(variables, obs, hidden, gmap, masks, steps):
+        # per-episode text cache as in the production RolloutEngine: the
+        # instruction biLSTM runs once per episode, not per step (its
+        # one-off cost amortizes over the ~45-200 steps of an episode)
+        text, text_pad = policy.apply(variables, obs["instruction"],
+                                      method=BasePolicy.encode_text)
+
         def body(i, carry):
             h, gm, acc = carry
             o = dict(obs, compass=obs["compass"] + 0.05 * i,
                      rgb=obs["rgb"] + 0.01 * i,
-                     depth=obs["depth"] + 1e-4 * i)
+                     depth=obs["depth"] + 1e-4 * i,
+                     text_features=text, text_pad=text_pad)
             out = policy.apply(variables, o, h, masks, gm, True,
                                method=BasePolicy.act)
             return out.hidden, out.global_map, acc + out.action

@@ -132,7 +132,66 @@ def main():
         bench("rotate 100^2x64 (patch)", mk_rot("patch"), jnp.float32(0))
         bench("rotate 100^2x64 (taps)", mk_rot("taps"), jnp.float32(0))
 
-    if "step" in stages:
+    if stages & {"instr", "depth", "mapenc", "act"}:
+        from ws_mgmap_tpu.models.instruction_encoder import InstructionEncoder
+        from ws_mgmap_tpu.models.depth_encoder import VlnResnetDepthEncoder
+        from ws_mgmap_tpu.models import map_modules
+
+        if "instr" in stages:
+            enc = InstructionEncoder()
+            tokens = jnp.asarray(
+                np.pad(rng.randint(1, 2504, (B, 16)), ((0, 0), (0, 184))))
+            iv = enc.init(jax.random.PRNGKey(0), tokens)
+            iv = jax.tree.map(lambda a: a.astype(dtype)
+                              if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                              iv)
+
+            def instr_step(i, c):
+                text, _ = enc.apply(iv, tokens + (i % 2))
+                return c + jnp.sum(text[..., :1].astype(jnp.float32))
+
+            bench("instruction biLSTM 200 tok", instr_step, jnp.float32(0))
+
+        if "depth" in stages:
+            de = VlnResnetDepthEncoder()
+            dv = de.init(jax.random.PRNGKey(0),
+                         depth.astype(jnp.float32)[:1])
+            dv = jax.tree.map(lambda a: a.astype(dtype)
+                              if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                              dv)
+
+            def depth_step(i, c):
+                x, _ = de.apply(dv, depth=depth + i.astype(dtype) * 1e-4)
+                return c + jnp.sum(x[..., :1].astype(jnp.float32))
+
+            bench("depth resnet50 encoder", depth_step, jnp.float32(0))
+
+        if "mapenc" in stages:
+            class _MapStack(__import__("flax").linen.Module):
+                @__import__("flax").linen.compact
+                def __call__(self, ego):
+                    enc = map_modules.MapEncoder(name="enc")(ego, False)
+                    dec = map_modules.MapDecoder(name="dec")(enc, False)
+                    sem = map_modules.MapClassifier(name="cls")(dec, False)
+                    return enc, sem
+
+            ms = _MapStack()
+            ego100 = jnp.asarray(
+                rng.rand(B, 100, 100, 64).astype(np.float32))
+            mv = ms.init(jax.random.PRNGKey(0), ego100)
+            mv = jax.tree.map(lambda a: a.astype(dtype)
+                              if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                              mv)
+            ego100 = ego100.astype(dtype)
+
+            def map_step(i, c):
+                enc, sem = ms.apply(mv, ego100 + i.astype(dtype) * 0.001)
+                return (c + jnp.sum(enc[..., :1].astype(jnp.float32))
+                        + jnp.sum(sem[..., :1].astype(jnp.float32)))
+
+            bench("map enc+dec+classifier", map_step, jnp.float32(0))
+
+    if stages & {"step", "act"}:
         policy = BasePolicy(cfg)
         obs = {
             "instruction": jnp.asarray(
@@ -151,15 +210,47 @@ def main():
             lambda a: a.astype(dtype)
             if jnp.issubdtype(a.dtype, jnp.floating) else a, variables)
 
-        def step_fn(i, gm):
-            o = dict(obs, rgb=rgb + i.astype(dtype) * 0.01,
-                     depth=depth + i.astype(dtype) * 1e-4,
-                     compass=compass + 0.05 * i)
-            _, gm = policy.apply(variables, o, masks, gm,
-                                 method=BasePolicy.update_map)
-            return gm
+        if "step" in stages:
+            def step_fn(i, gm):
+                o = dict(obs, rgb=rgb + i.astype(dtype) * 0.01,
+                         depth=depth + i.astype(dtype) * 1e-4,
+                         compass=compass + 0.05 * i)
+                _, gm = policy.apply(variables, o, masks, gm,
+                                     method=BasePolicy.update_map)
+                return gm
 
-        bench("full update_map step", step_fn, gmap)
+            bench("full update_map step", step_fn, gmap)
+
+        if "act" in stages:
+            hidden0 = jnp.zeros((2, B, cfg.hidden_size), dtype)
+
+            def act_fn(i, carry):
+                hd, gm = carry
+                o = dict(obs, rgb=rgb + i.astype(dtype) * 0.01,
+                         depth=depth + i.astype(dtype) * 1e-4,
+                         compass=compass + 0.05 * i)
+                out = policy.apply(variables, o, hd, masks, gm, True,
+                                   method=BasePolicy.act)
+                return out.hidden, out.global_map
+
+            bench("full act step (text each step)", act_fn, (hidden0, gmap))
+
+            text, text_pad = jax.jit(lambda v, t: policy.apply(
+                v, t, method=BasePolicy.encode_text))(
+                    variables, obs["instruction"])
+
+            def act_cached(i, carry):
+                hd, gm = carry
+                o = dict(obs, rgb=rgb + i.astype(dtype) * 0.01,
+                         depth=depth + i.astype(dtype) * 1e-4,
+                         compass=compass + 0.05 * i,
+                         text_features=text, text_pad=text_pad)
+                out = policy.apply(variables, o, hd, masks, gm, True,
+                                   method=BasePolicy.act)
+                return out.hidden, out.global_map
+
+            bench("full act step (text cached)", act_cached,
+                  (hidden0, gmap))
 
 
 if __name__ == "__main__":

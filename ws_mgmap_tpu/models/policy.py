@@ -244,7 +244,15 @@ class MGMapNet(nn.Module):
         global map (rollout mode). masks gates episode resets.
         """
         c = self.cfg
-        text, text_pad = self.instruction_encoder(obs["instruction"])
+        # Bypass via cached text features (RolloutEngine): the instruction
+        # is constant within an episode, so the 200-step biLSTM scan — a
+        # sequential chain the TPU cannot parallelize — runs once per
+        # episode instead of every act (the reference re-encodes per
+        # forward, `instruction_encoder.py:45-70`).
+        if "text_features" in obs:
+            text, text_pad = obs["text_features"], obs["text_pad"]
+        else:
+            text, text_pad = self.instruction_encoder(obs["instruction"])
 
         rgb_in, proj_feat, rgb_bottleneck = self.encode_rgb(obs)
 
@@ -445,6 +453,11 @@ class BasePolicy(nn.Module):
 
     def update_map(self, obs, masks, global_map):
         return self.net.update_map(obs, masks, global_map)
+
+    def encode_text(self, tokens: Array):
+        """(text [B,L,H], text_pad [B,L]) for the per-episode rollout cache
+        (see encode_frames' `text_features` bypass)."""
+        return self.net.instruction_encoder(tokens)
 
     def forward_seq(self, obs: Dict[str, Array], hidden0: Array,
                     masks: Array, train: bool = True):

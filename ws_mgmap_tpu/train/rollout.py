@@ -70,8 +70,14 @@ class RolloutEngine:
                 ego_map = ego_map.astype(jnp.float32)
             return ego_map, new_global
 
+        @jax.jit
+        def _encode_text(variables, tokens):
+            return policy.apply(variables, tokens,
+                                method=BasePolicy.encode_text)
+
         self._act = _act
         self._update_map = _update_map
+        self._encode_text = _encode_text
         self.reset_state(num_envs)
 
     # -- state ---------------------------------------------------------------
@@ -83,6 +89,9 @@ class RolloutEngine:
                                           dtype=self.dtype)
         self.prev_actions = np.zeros((num_envs, 2), np.float32)
         self.prog = np.zeros((num_envs, 1), np.float32)
+        # per-episode instruction cache (tokens key -> encoded features)
+        self._text_tokens = None
+        self._text_cache = None
 
     def zero_hidden_at(self, idx: int) -> None:
         """End-of-look-around hidden reset (`dagger_trainer.py:443-445`)."""
@@ -97,6 +106,7 @@ class RolloutEngine:
         self.prev_actions = self.prev_actions[list(keep_indices)]
         self.prog = self.prog[list(keep_indices)]
         self.num_envs = len(keep_indices)
+        self._text_tokens = None  # batch rows changed; re-encode next act
 
     # -- obs ---------------------------------------------------------------
     def batch_obs(self, observations: List[Dict[str, Any]]) -> Dict[str, jnp.ndarray]:
@@ -127,13 +137,29 @@ class RolloutEngine:
                 else jnp.asarray(v) for k, v in batch.items()}
 
     # -- steps ---------------------------------------------------------------
+    def _with_text(self, obs_batch: Dict[str, jnp.ndarray]
+                   ) -> Dict[str, jnp.ndarray]:
+        """Attach per-episode cached text features (the 200-step biLSTM is
+        a sequential scan; instructions only change on episode boundaries,
+        so re-encode only when the token batch changes)."""
+        tokens = np.asarray(obs_batch["instruction"])
+        if (self._text_tokens is None
+                or self._text_tokens.shape != tokens.shape
+                or not np.array_equal(self._text_tokens, tokens)):
+            self._text_cache = with_compile_fallback(
+                self._encode_text, self.variables,
+                obs_batch["instruction"])
+            self._text_tokens = tokens.copy()
+        text, text_pad = self._text_cache
+        return dict(obs_batch, text_features=text, text_pad=text_pad)
+
     def act(self, obs_batch: Dict[str, jnp.ndarray], masks: np.ndarray,
             deterministic: bool = True):
         # compile fallback: aggressive kernel params first, conservative on
         # a pool worker that rejects their VMEM footprint (tuning.py)
         out = with_compile_fallback(
-            self._act, self.variables, obs_batch, self.hidden,
-            self.global_map,
+            self._act, self.variables, self._with_text(obs_batch),
+            self.hidden, self.global_map,
             jnp.asarray(masks, np.float32).astype(self.dtype))
         self.hidden = out.hidden
         self.global_map = out.global_map
