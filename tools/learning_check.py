@@ -34,7 +34,7 @@ def tiny_config(tmp_dir, episodes, epochs):
     cfg.CHECKPOINT_FOLDER = os.path.join(tmp_dir, "ckpt")
     cfg.TENSORBOARD_DIR = os.path.join(tmp_dir, "tb")
     cfg.EVAL.SPLIT = "val_seen"
-    cfg.EVAL.EPISODE_COUNT = 10
+    cfg.EVAL.EPISODE_COUNT = 20  # 10 is noise-dominated at SR granularity
     cfg.EVAL.USE_CKPT_CONFIG = False
     cfg.ep_max_len = 90
     cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 90
@@ -148,12 +148,18 @@ def main():
         tuned, s1 = out["eval_stage2"], out["eval_trained"]
         better = (
             tuned.get("success", 0) > s1.get("success", 0)
-            or tuned.get("ndtw", 0) > s1.get("ndtw", 0)
             or tuned.get("oracle_navigation_error", 99)
-            < s1.get("oracle_navigation_error", 99)
+            < s1.get("oracle_navigation_error", 99) - 0.25
         )
-        not_worse = (tuned.get("success", 0) >= s1.get("success", 0)
-                     and tuned.get("ndtw", 0) >= s1.get("ndtw", 0) - 0.05)
+        # Guard on success + oracle error, NOT ndtw: a stationary policy
+        # scores deceptively decent ndtw (episodes start on the reference
+        # path), so an agent that starts actually navigating can regress
+        # ndtw while plainly improving.
+        not_worse = (
+            tuned.get("success", 0) >= s1.get("success", 0)
+            and tuned.get("oracle_navigation_error", 99)
+            <= s1.get("oracle_navigation_error", 0) + 0.5
+        )
         ok = ok and better and not_worse
     print("LEARNING CHECK:", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
