@@ -110,10 +110,14 @@ def make_fake_dataset(
     seed: int = 0,
     vocab_size: int = 2504,
     max_instruction_len: int = 200,
-    min_geodesic: float = 2.0,
+    min_geodesic: float = 4.0,
     max_geodesic: float = 8.0,
 ) -> VLNCEDataset:
-    """Deterministic FakeSim episodes with feasible start/goal pairs."""
+    """Deterministic FakeSim episodes with feasible start/goal pairs.
+
+    ``min_geodesic`` stays above the task's SUCCESS_DISTANCE (3.0,
+    `vlnce_task.yaml:24`) so no episode starts pre-solved — an untrained
+    agent scores ~0 and eval deltas measure actual navigation."""
     scenes = scenes or ["fake/sceneA", "fake/sceneB"]
     rng = np.random.RandomState(seed)
     episodes: List[Episode] = []
