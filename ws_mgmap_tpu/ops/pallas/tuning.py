@@ -55,3 +55,51 @@ def with_compile_fallback(fn, *args, **kwargs):
         set_safe_mode(True)
         jax.clear_caches()
         return fn(*args, **kwargs)
+
+
+def hedged_compile(fn, args, n: int = 2, time_fn=None):
+    """AOT-compile ``fn(*args)`` ``n`` times and return the fastest
+    executable.
+
+    XLA's schedule for a large fused program is not deterministic across
+    this pool's compile workers: six fresh compiles of the same update_map
+    program measured 7.47-8.54 ms/step, with rare pathological draws at
+    2x (17.5 ms observed). Each compile request re-rolls the worker, so
+    best-of-n both tightens the mean and insures against the disaster
+    draw — the standard autotuning move, applied at whole-program level.
+
+    ``time_fn(executable) -> seconds`` ranks candidates; the default runs
+    the executable twice and times the second call. Kernel-compile
+    failures during a candidate flip safe mode (see with_compile_fallback)
+    and the candidate is retried once; candidates after the flip compile
+    conservatively.
+    """
+    import time as _time
+
+    import jax
+    import numpy as np
+
+    def _default_time(ex):
+        ex(*args)  # warm (device paging etc.)
+        t0 = _time.perf_counter()
+        out = ex(*args)
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(jax.device_get(leaf)).reshape(-1)[:1]
+        return _time.perf_counter() - t0
+
+    time_fn = time_fn or _default_time
+    best = None
+    for _ in range(max(1, n)):
+        try:
+            ex = jax.jit(fn).lower(*args).compile()
+        except Exception as e:
+            if not _is_kernel_compile_error(e) or _SAFE:
+                raise
+            set_safe_mode(True)
+            jax.clear_caches()
+            ex = jax.jit(fn).lower(*args).compile()
+        dt = min(time_fn(ex) for _ in range(2))
+        if best is None or dt < best[0]:
+            best = (dt, ex)
+        jax.clear_caches()  # force the next candidate to recompile
+    return best[1]
