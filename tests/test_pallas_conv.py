@@ -74,3 +74,24 @@ def test_mode_gate():
     assert not pconv.fused_conv_eligible((1, 224, 224, 64), 3, 2)
     assert not pconv.fused_conv_eligible((1, 224, 224, 64), 1, 1)
     assert not pconv.fused_conv_eligible((1, 4, 224, 64), 3, 1)
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 16, 24, 8, 4, 16),   # single tile
+    (1, 32, 20, 6, 10, 7),   # 2 tiles, ragged channels
+])
+@pytest.mark.parametrize("impl", ["im2col", "tap"])
+def test_conv3x3_two_input_concat(shape, impl):
+    """x2 streaming == conv over the materialized channel concat."""
+    b, h, w, c1, c2, co = shape
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(b, h, w, c1).astype(np.float32))
+    x2 = jnp.asarray(rng.randn(b, h, w, c2).astype(np.float32))
+    k = jnp.asarray((rng.randn(3, 3, c1 + c2, co) * 0.1).astype(np.float32))
+    s = jnp.asarray((rng.rand(co) + 0.5).astype(np.float32))
+    bb = jnp.asarray((rng.randn(co) * 0.1).astype(np.float32))
+    ref = _conv_ref(jnp.concatenate([x, x2], axis=-1), k, s, bb, True)
+    got = pconv.conv3x3_bn_relu(x, k, s, bb, relu=True, bh=16, impl=impl,
+                                x2=x2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

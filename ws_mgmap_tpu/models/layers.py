@@ -152,13 +152,19 @@ class ConvBNReLU(nn.Module):
     stride: int = 1
 
     @nn.compact
-    def __call__(self, x: Array, train: bool) -> Array:
+    def __call__(self, x: Array, train: bool,
+                 x2: Optional[Array] = None) -> Array:
+        """``x2``: optional second input, channel-concatenated to ``x``
+        (the UNet decoder's upsample+skip concat) — the fused kernel
+        streams it separately so the concat is never materialized."""
         from ws_mgmap_tpu.ops.pallas import conv as pconv
 
+        full_c = x.shape[-1] + (0 if x2 is None else x2.shape[-1])
         if (not train and not self.is_initializing()
                 and self.padding == 1
-                and pconv.fused_conv_active(x.shape, x.dtype, self.kernel,
-                                            self.stride)):
+                and pconv.fused_conv_active(
+                    x.shape[:3] + (full_c,), x.dtype, self.kernel,
+                    self.stride)):
             p0 = self.get_variable("params", "0")
             p1 = self.get_variable("params", "1")
             st = self.get_variable("batch_stats", "1")
@@ -167,7 +173,10 @@ class ConvBNReLU(nn.Module):
                     p0["kernel"], p0.get("bias"), p1["scale"], p1["bias"],
                     st["mean"], st["var"])
                 return pconv.conv3x3_bn_relu(
-                    x, p0["kernel"].astype(x.dtype), scale, bias, relu=True)
+                    x, p0["kernel"].astype(x.dtype), scale, bias, relu=True,
+                    x2=x2)
+        if x2 is not None:
+            x = jnp.concatenate([x, x2], axis=-1)
         x = tconv(self.in_c, self.features, self.kernel, self.stride,
                   self.padding, bias=True, name="0")(x)
         x = tbn(train, name="1")(x)

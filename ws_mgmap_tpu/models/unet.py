@@ -75,30 +75,35 @@ class ResNetUNet(nn.Module):
         layer4 = ConvBNReLU(512, 512, 1, 0, name="layer4_1x1")(layer4, train)
         bottleneck = layer4
 
+        # Decoder: the upsample+skip channel concats are passed as x2 so
+        # the fused conv kernel streams both operands and the concatenated
+        # tensor is never materialized in HBM (reference chains concat ->
+        # conv, `unet_encoder.py:77-110`; torch weight layout [up | skip]
+        # is preserved, so parameters are interchangeable).
         y = upsample_bilinear_x2_nhwc(layer4)
         layer3 = ConvBNReLU(256, 256, 1, 0, name="layer3_1x1")(layer3, train)
-        y = jnp.concatenate([y, layer3], axis=-1)
-        y = ConvBNReLU(256 + 512, 512, 3, 1, name="conv_up3")(y, train)
+        y = ConvBNReLU(256 + 512, 512, 3, 1, name="conv_up3")(y, train,
+                                                              x2=layer3)
 
         y = upsample_bilinear_x2_nhwc(y)
         layer2 = ConvBNReLU(128, 128, 1, 0, name="layer2_1x1")(layer2, train)
-        y = jnp.concatenate([y, layer2], axis=-1)
-        y = ConvBNReLU(128 + 512, 256, 3, 1, name="conv_up2")(y, train)
+        y = ConvBNReLU(128 + 512, 256, 3, 1, name="conv_up2")(y, train,
+                                                              x2=layer2)
 
         y = upsample_bilinear_x2_nhwc(y)
         layer1 = ConvBNReLU(64, 64, 1, 0, name="layer1_1x1")(layer1, train)
-        y = jnp.concatenate([y, layer1], axis=-1)
-        y = ConvBNReLU(64 + 256, 256, 3, 1, name="conv_up1")(y, train)
+        y = ConvBNReLU(64 + 256, 256, 3, 1, name="conv_up1")(y, train,
+                                                             x2=layer1)
 
         y = upsample_bilinear_x2_nhwc(y)
         layer0 = ConvBNReLU(64, 64, 1, 0, name="layer0_1x1")(layer0, train)
-        y = jnp.concatenate([y, layer0], axis=-1)
-        y = ConvBNReLU(64 + 256, 128, 3, 1, name="conv_up0")(y, train)
+        y = ConvBNReLU(64 + 256, 128, 3, 1, name="conv_up0")(y, train,
+                                                             x2=layer0)
 
         y = upsample_bilinear_x2_nhwc(y)
-        y = jnp.concatenate([y, x_original], axis=-1)
         proj_feat = ConvBNReLU(64 + 128, 64, 3, 1,
-                               name="conv_original_size2")(y, train)
+                               name="conv_original_size2")(y, train,
+                                                           x2=x_original)
 
         seg = tconv(64, self.n_class_out, 1, 1, 0, bias=True,
                     name="conv_last")(proj_feat)

@@ -95,18 +95,27 @@ def _pick_bh(h: int, wd: int = 0, ci: int = 0, co: int = 0,
 def conv3x3_bn_relu(x: Array, w: Array, scale: Array, bias: Array,
                     relu: bool = True, bh: int | None = None,
                     impl: str = "im2col",
-                    residual: Array | None = None) -> Array:
-    """y = [relu](conv3x3_same_s1(x, w) * scale + bias [+ residual]), NHWC.
+                    residual: Array | None = None,
+                    x2: Array | None = None) -> Array:
+    """y = [relu](conv3x3_same_s1(concat([x, x2]), w) * scale + bias
+    [+ residual]), NHWC.
 
     Args:
-      x: [B, H, W, Cin] (bf16 or fp32).
-      w: [3, 3, Cin, Cout] (HWIO, conv bias folded into `bias`).
+      x: [B, H, W, Cin1] (bf16 or fp32).
+      w: [3, 3, Cin1(+Cin2), Cout] (HWIO, conv bias folded into `bias`).
       scale, bias: [Cout] fp32 per-channel epilogue (use :func:`fold_bn`).
       residual: optional [B, H, W, Cout] skip added before the ReLU
         (resnet BasicBlock epilogue, `models/resnet.py`).
+      x2: optional [B, H, W, Cin2] second input, concatenated channel-wise
+        — streamed as its own operand so the UNet decoder's
+        upsample+skip concat (`unet_encoder.py:77-110`) is never
+        materialized in HBM.
     """
-    b, h, wd, ci = x.shape
+    b, h, wd, ci1 = x.shape
+    ci2 = 0 if x2 is None else x2.shape[-1]
+    ci = ci1 + ci2
     co = w.shape[-1]
+    assert residual is None or x2 is None  # never combined in the model
     if bh is None:
         bh = _pick_bh(h, wd, ci, co, jnp.dtype(x.dtype).itemsize, impl,
                       residual is not None)
@@ -122,7 +131,7 @@ def conv3x3_bn_relu(x: Array, w: Array, scale: Array, bias: Array,
     grid = (b, n_tiles + 1)
 
     in_specs = [
-        pl.BlockSpec((1, bh, wd, ci),
+        pl.BlockSpec((1, bh, wd, ci1),
                      lambda bi, i: (bi, jnp.minimum(i, n_tiles - 1), 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((9 * ci, co), lambda bi, i: (0, 0),
@@ -140,39 +149,63 @@ def conv3x3_bn_relu(x: Array, w: Array, scale: Array, bias: Array,
             lambda bi, i: (bi, jnp.maximum(i - 1, 0), 0, 0),
             memory_space=pltpu.VMEM))
         operands.append(residual.astype(dtype))
+    if x2 is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, bh, wd, ci2),
+            lambda bi, i: (bi, jnp.minimum(i, n_tiles - 1), 0, 0),
+            memory_space=pltpu.VMEM))
+        operands.append(x2.astype(dtype))
     out_spec = pl.BlockSpec(
         (1, bh, wd, co),
         lambda bi, i: (bi, jnp.maximum(i - 1, 0), 0, 0),
         memory_space=pltpu.VMEM)
 
     def kernel(x_ref, w_ref, s_ref, b_ref, *rest):
+        res_ref = x2_ref = None
         if residual is not None:
-            res_ref, o_ref, win, lastrow = rest
+            res_ref, o_ref, *scratch = rest
+        elif x2 is not None:
+            x2_ref, o_ref, *scratch = rest
         else:
-            o_ref, win, lastrow = rest
-            res_ref = None
+            o_ref, *scratch = rest
+        if x2 is not None:
+            win, lastrow, win2, lastrow2 = scratch
+        else:
+            win, lastrow = scratch
         i = pl.program_id(1)
-        cur = x_ref[0]  # [bh, W, Ci]
+        cur = x_ref[0]  # [bh, W, Ci1]
+
+        def stage_window(wref, top_src, cur_src):
+            # window rows [bh+2, W+2, C] for output tile i-1:
+            #   row 0       = last row of tile i-2 (zeros when i == 1)
+            #   rows 1..bh  = tile i-1 (already in window from last step)
+            #   row bh+1    = first row of tile i (zeros when i == n_tiles)
+            top = jnp.where(i == 1, jnp.zeros_like(top_src[0:1]),
+                            top_src[0:1])
+            bot = jnp.where(i == n_tiles,
+                            jnp.zeros_like(cur_src[0:1]), cur_src[0:1])
+            wref[0:1, 1:wd + 1] = top
+            wref[bh + 1:bh + 2, 1:wd + 1] = bot
 
         @pl.when(i > 0)
         def _compute():
-            # window rows [bh+2, W+2, Ci] for output tile i-1:
-            #   row 0       = last row of tile i-2 (zeros when i == 1)
-            #   rows 1..bh  = tile i-1 (already in `win` from last step)
-            #   row bh+1    = first row of tile i (zeros when i == n_tiles)
-            top = jnp.where(i == 1, jnp.zeros_like(lastrow[0:1]),
-                            lastrow[0:1])
-            bot = jnp.where(i == n_tiles,
-                            jnp.zeros_like(cur[0:1]), cur[0:1])
-            win[0:1, 1:wd + 1] = top
-            win[bh + 1:bh + 2, 1:wd + 1] = bot
+            stage_window(win, lastrow, cur)
+            if x2_ref is not None:
+                stage_window(win2, lastrow2, x2_ref[0])
+
+            def tap_slices(dy, dx):
+                parts = [win[dy:dy + bh, dx:dx + wd].reshape(bh * wd, ci1)]
+                if x2_ref is not None:
+                    parts.append(
+                        win2[dy:dy + bh, dx:dx + wd].reshape(bh * wd, ci2))
+                return parts
 
             if impl == "im2col":
                 # one K=9*Ci matmul: near-full MXU K-fill, accumulation
                 # stays inside the MXU instead of 9 fp32 VPU adds
                 patches = jnp.concatenate(
-                    [win[dy:dy + bh, dx:dx + wd].reshape(bh * wd, ci)
-                     for dy in range(3) for dx in range(3)], axis=1)
+                    [p for dy in range(3) for dx in range(3)
+                     for p in tap_slices(dy, dx)], axis=1)
                 acc = jax.lax.dot_general(
                     patches, w_ref[:],
                     (((1,), (0,)), ((), ())),
@@ -181,9 +214,9 @@ def conv3x3_bn_relu(x: Array, w: Array, scale: Array, bias: Array,
                 acc = jnp.zeros((bh * wd, co), jnp.float32)
                 for dy in range(3):
                     for dx in range(3):
-                        tap = win[dy:dy + bh, dx:dx + wd]
+                        tap = jnp.concatenate(tap_slices(dy, dx), axis=1)
                         acc = acc + jax.lax.dot_general(
-                            tap.reshape(bh * wd, ci),
+                            tap,
                             w_ref[(dy * 3 + dx) * ci:(dy * 3 + dx + 1) * ci, :],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -199,12 +232,28 @@ def conv3x3_bn_relu(x: Array, w: Array, scale: Array, bias: Array,
         def _stage():
             lastrow[0:1] = win[bh:bh + 1, 1:wd + 1]
             win[1:bh + 1, 1:wd + 1] = cur
+            if x2_ref is not None:
+                lastrow2[0:1] = win2[bh:bh + 1, 1:wd + 1]
+                win2[1:bh + 1, 1:wd + 1] = x2_ref[0]
 
         @pl.when(i == 0)
         def _zero_halo():
             win[:, 0:1] = jnp.zeros_like(win[:, 0:1])
             win[:, wd + 1:wd + 2] = jnp.zeros_like(win[:, wd + 1:wd + 2])
+            if x2_ref is not None:
+                win2[:, 0:1] = jnp.zeros_like(win2[:, 0:1])
+                win2[:, wd + 1:wd + 2] = jnp.zeros_like(
+                    win2[:, wd + 1:wd + 2])
 
+    scratch_shapes = [
+        pltpu.VMEM((bh + 2, wd + 2, ci1), dtype),
+        pltpu.VMEM((1, wd, ci1), dtype),
+    ]
+    if x2 is not None:
+        scratch_shapes += [
+            pltpu.VMEM((bh + 2, wd + 2, ci2), dtype),
+            pltpu.VMEM((1, wd, ci2), dtype),
+        ]
     flops = 2 * b * h * wd * 9 * ci * co
     out = pl.pallas_call(
         kernel,
@@ -212,10 +261,7 @@ def conv3x3_bn_relu(x: Array, w: Array, scale: Array, bias: Array,
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, wd, co), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bh + 2, wd + 2, ci), dtype),
-            pltpu.VMEM((1, wd, ci), dtype),
-        ],
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=x.size * x.dtype.itemsize + out_bytes(b, h, wd, co,
