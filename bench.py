@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Benchmark: map-update + policy-step throughput on the local accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints JSON lines {"metric", "value", "unit", "vs_baseline", "extras"}; the
+LAST line printed is the most complete result (the driver tail-parses it).
+The headline (bf16 B=6 map-update) is measured and printed FIRST so a
+result exists even if the run is cut; extra metrics are appended as budget
+allows and each stage re-prints the full, updated JSON line.
 
 Primary metric: map-update frames/sec/chip — the hot path of both rollout
 collection and evaluation (UNet 224^2 forward + pinhole projection +
@@ -18,12 +22,46 @@ roofline; the derived number is stored in tools/reference_baseline.json
 
 Primary measurement runs the production rollout mode (bf16 frozen trunks,
 MODEL.ROLLOUT_BF16); the fp32 parity-mode number is reported in extras.
+
+Env knobs:
+  BENCH_BUDGET_S  wall-clock budget in seconds (default 900); stages that
+                  would start past the budget are skipped and listed in
+                  extras["skipped"].
+  BENCH_HEDGE     best-of-n whole-program compiles (default 1 = off).
 """
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+T0 = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+
+
+def _elapsed():
+    return time.time() - T0
+
+
+def _remaining():
+    return BUDGET_S - _elapsed()
+
+
+_LOG_PATH = os.environ.get("BENCH_LOG", "/tmp/bench_progress.log")
+
+
+def _log(msg):
+    # progress goes to a side file, NOT stderr: the driver tail-parses the
+    # merged stdout/stderr stream for the result JSON, and a progress line
+    # printed after the last emit (e.g. when the process is killed mid-
+    # compile) must not become the final line it sees.
+    line = f"[bench +{_elapsed():.0f}s] {msg}\n"
+    try:
+        with open(_LOG_PATH, "a") as f:
+            f.write(line)
+    except OSError:
+        sys.stderr.write(line)
 
 
 def _reference_model() -> dict:
@@ -47,9 +85,10 @@ def _reference_fps_at(batch: int) -> float:
     try:
         m = _REF["model"]
         a = m["assumptions"]
+        ref_batch = float(_REF.get("batch", 6))
         t_unet = m["unet_conv_flops_per_frame"] * batch / (
             a["R_CONV_V100_tflops"] * 1e12)
-        t_map = (m["bytes_map_chain_per_step"] / 6.0 * batch) / (
+        t_map = (m["bytes_map_chain_per_step"] / ref_batch * batch) / (
             a["BW_V100_gbs"] * 1e9) + a["launch_overhead_ms"] / 1e3
         return batch / (t_unet + t_map)
     except Exception:
@@ -62,8 +101,23 @@ STEPS = 30
 
 
 def main():
+    # Persistent compilation cache: a re-run (or a post-timeout retry) gets
+    # warm compiles instead of paying the slow remote compile pool again.
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # cache support is best-effort
+        _log(f"compilation cache unavailable: {e}")
+
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from ws_mgmap_tpu.models.policy import BasePolicy, MGMapConfig
     from ws_mgmap_tpu.ops.mapping import init_global_map
@@ -86,11 +140,10 @@ def main():
 
     # jit the init: eager tracing through a remote-execution runtime pays an
     # RPC per op (~7 minutes); compiled it's one launch.
+    _log("init params")
     init_fn = jax.jit(lambda key: policy.init(
         key, obs, hidden, masks, gmap, method=BasePolicy.act))
     variables = init_fn(jax.random.PRNGKey(0))
-
-    from jax import lax
 
     def host_sync(x):
         # a host transfer is the only completion signal that cannot be
@@ -128,19 +181,20 @@ def main():
             out = policy.apply(variables, o, h, masks, gm, True,
                                method=BasePolicy.act)
             return out.hidden, out.global_map, acc + out.action
+        n = obs["rgb"].shape[0]
         return lax.fori_loop(0, steps, body,
-                             (hidden, gmap, jnp.zeros((BATCH, 2))))
+                             (hidden, gmap, jnp.zeros((n, 2))))
 
     from ws_mgmap_tpu.ops.pallas.tuning import (hedged_compile,
                                                 with_compile_fallback)
 
-    # best-of-n whole-program compile: XLA's schedule varies across the
-    # pool's compile workers (7.5-8.5 ms/step with rare 2x draws for the
-    # same program — see tuning.hedged_compile). n via BENCH_HEDGE.
-    HEDGE_N = int(os.environ.get("BENCH_HEDGE", "2"))
+    # Best-of-n whole-program compile (XLA schedule noise across the compile
+    # pool). DEFAULT OFF: hedging doubles compile time for the biggest
+    # programs, and the driver budget is the binding constraint.
+    HEDGE_N = int(os.environ.get("BENCH_HEDGE", "1"))
 
-    def hedge(fn, args, n=None):
-        return hedged_compile(fn, args, n=HEDGE_N if n is None else n)
+    def hedge(fn, args):
+        return hedged_compile(fn, args, n=HEDGE_N)
 
     def timed(fn):
         # aggressive kernel params first; if this compile lands on a pool
@@ -157,142 +211,215 @@ def main():
             lambda x: x.astype(dtype)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
-    def measure_rollout(dtype, hedge_n=None):
-        """(map_fps, act_fps) with trunks/state/obs in `dtype` — the
-        production rollout mode is bf16 (MODEL.ROLLOUT_BF16)."""
-        v = cast_tree(variables, dtype)
-        o = dict(cast_tree(obs, dtype), gps=obs["gps"],
-                 compass=obs["compass"])  # coordinate math stays fp32
-        gm = gmap.astype(dtype)
-        hd = hidden.astype(dtype)
-        mk = masks.astype(dtype)
+    timings = {}  # name -> {"ms_per_step", "n_steps", "samples_s"}
 
-        map_ex = hedge(update_map_n, (v, o, gm, mk, k2), n=hedge_n)
-        timed(lambda: map_ex(v, o, gm, mk, k1))
-        timed(lambda: map_ex(v, o, gm, mk, k2))
-        t_short = min(timed(lambda: map_ex(v, o, gm, mk, k1))
-                      for _ in range(2))
-        t_long = min(timed(lambda: map_ex(v, o, gm, mk, k2))
-                     for _ in range(2))
-        map_fps = BATCH * STEPS / max(t_long - t_short, 1e-6)
+    def measure_pair_diff(name, run_short, run_long, frames_per_step,
+                          n_draws=2):
+        """K2-vs-K1 differential timing; records raw draws for variance."""
+        timed(run_short)  # warm both executables (device paging etc.)
+        timed(run_long)
+        shorts = [timed(run_short) for _ in range(n_draws)]
+        longs = [timed(run_long) for _ in range(n_draws)]
+        dt = max(min(longs) - min(shorts), 1e-6)
+        fps = frames_per_step * STEPS / dt
+        timings[name] = {
+            "ms_per_step": round(dt / STEPS * 1e3, 3),
+            "n_steps": STEPS,
+            "frames_per_step": frames_per_step,
+            "samples_short_s": [round(t, 4) for t in shorts],
+            "samples_long_s": [round(t, 4) for t in longs],
+            "hedge_n": HEDGE_N,
+        }
+        return fps
 
-        act_ex = hedge(act_n, (v, o, hd, gm, mk, k2), n=hedge_n)
-        timed(lambda: act_ex(v, o, hd, gm, mk, k1))
-        timed(lambda: act_ex(v, o, hd, gm, mk, k2))
-        t_short = min(timed(lambda: act_ex(v, o, hd, gm, mk, k1))
-                      for _ in range(2))
-        t_long = min(timed(lambda: act_ex(v, o, hd, gm, mk, k2))
-                     for _ in range(2))
-        act_fps = BATCH * STEPS / max(t_long - t_short, 1e-6)
-        return map_fps, act_fps
+    result = {
+        "metric": "map_update_frames_per_sec_per_chip",
+        "value": None,
+        "unit": "frames/s",
+        "vs_baseline": None,
+        "extras": {
+            "rollout_mode": "bf16 frozen trunks (MODEL.ROLLOUT_BF16)",
+            "batch": BATCH,
+            "baseline_fps": REFERENCE_MAP_UPDATE_FPS,
+            "device": str(jax.devices()[0]),
+            "budget_s": BUDGET_S,
+            "skipped": [],
+            "timings": timings,
+        },
+    }
 
-    map_fps, act_fps = measure_rollout(jnp.bfloat16)
-    map_fps_fp32, act_fps_fp32 = measure_rollout(jnp.float32, hedge_n=1)
+    def emit():
+        result["extras"]["elapsed_s"] = round(_elapsed(), 1)
+        print(json.dumps(result), flush=True)
 
-    # -- TPU-efficient batch: same per-chip metric at B=24 ---------------------
+    # ---- STAGE 1 (headline): bf16 B=6 map-update ---------------------------
+    _log("stage 1: compile bf16 B=6 update_map")
+    v16 = cast_tree(variables, jnp.bfloat16)
+    o16 = dict(cast_tree(obs, jnp.bfloat16), gps=obs["gps"],
+               compass=obs["compass"])  # coordinate math stays fp32
+    gm16 = gmap.astype(jnp.bfloat16)
+    mk16 = masks.astype(jnp.bfloat16)
+    map_ex = hedge(update_map_n, (v16, o16, gm16, mk16, k2))
+    map_fps = measure_pair_diff(
+        "map_update_bf16_b6",
+        lambda: map_ex(v16, o16, gm16, mk16, k1),
+        lambda: map_ex(v16, o16, gm16, mk16, k2), BATCH)
+    result["value"] = round(map_fps, 2)
+    result["vs_baseline"] = round(map_fps / REFERENCE_MAP_UPDATE_FPS, 3)
+    emit()  # headline exists from this point on
+    _log(f"headline: {map_fps:.1f} f/s ({map_fps/REFERENCE_MAP_UPDATE_FPS:.2f}x)")
+
+    def budget_ok(stage, est_s):
+        if _remaining() > est_s:
+            return True
+        result["extras"]["skipped"].append(stage)
+        _log(f"skip {stage}: {_remaining():.0f}s left < est {est_s}s")
+        return False
+
+    # ---- STAGE 2: bf16 B=6 act ---------------------------------------------
+    if budget_ok("act_bf16_b6", 120):
+        _log("stage 2: compile bf16 B=6 act")
+        hd16 = hidden.astype(jnp.bfloat16)
+        act_ex = hedge(act_n, (v16, o16, hd16, gm16, mk16, k2))
+        act_fps = measure_pair_diff(
+            "act_bf16_b6",
+            lambda: act_ex(v16, o16, hd16, gm16, mk16, k1),
+            lambda: act_ex(v16, o16, hd16, gm16, mk16, k2), BATCH)
+        result["extras"]["policy_act_steps_per_sec_per_chip"] = round(
+            act_fps, 2)
+        emit()
+
+    # ---- STAGE 3: TPU-efficient batch B=24 ---------------------------------
     # The reference runs 6 sim procs/GPU (README.md:80); a TPU chip is fed by
     # a host sim pool sized to the chip, so the production batch is larger.
-    # Compared against the SAME roofline derivation evaluated at B=24
-    # (the V100 model is FLOP/bytes-linear in B, so its per-frame rate is
-    # nearly flat: see _reference_fps_at).
-    b24 = BATCH_SCALED
-    obs24 = {
-        "instruction": jnp.asarray(
-            np.pad(rng.randint(1, 2504, (b24, 16)), ((0, 0), (0, 184)))),
-        "rgb": jnp.asarray(
-            rng.randint(0, 255, (b24, 224, 224, 3))).astype(jnp.bfloat16),
-        "depth": jnp.asarray(
-            rng.rand(b24, 256, 256, 1).astype(np.float32)).astype(jnp.bfloat16),
-        "gps": jnp.zeros((b24, 2)),
-        "compass": jnp.zeros((b24, 1)),
-    }
-    gmap24 = init_global_map(b24, cfg.mapper, dtype=jnp.bfloat16)
-    v16 = cast_tree(variables, jnp.bfloat16)
-    mk24 = jnp.ones((b24, 1), jnp.bfloat16)
-    ex24 = hedge(update_map_n, (v16, obs24, gmap24, mk24, k2))
-    timed(lambda: ex24(v16, obs24, gmap24, mk24, k1))
-    timed(lambda: ex24(v16, obs24, gmap24, mk24, k2))
-    t_short = min(timed(lambda: ex24(v16, obs24, gmap24, mk24, k1))
-                  for _ in range(2))
-    t_long = min(timed(lambda: ex24(v16, obs24, gmap24, mk24, k2))
-                 for _ in range(2))
-    map_fps_b24 = b24 * STEPS / max(t_long - t_short, 1e-6)
+    # Compared against the SAME roofline derivation evaluated at B=24.
+    if budget_ok("map_update_bf16_b24", 150):
+        _log("stage 3: compile bf16 B=24 update_map")
+        b24 = BATCH_SCALED
+        obs24 = {
+            "instruction": jnp.asarray(
+                np.pad(rng.randint(1, 2504, (b24, 16)), ((0, 0), (0, 184)))),
+            "rgb": jnp.asarray(
+                rng.randint(0, 255, (b24, 224, 224, 3))).astype(jnp.bfloat16),
+            "depth": jnp.asarray(
+                rng.rand(b24, 256, 256, 1).astype(np.float32)
+            ).astype(jnp.bfloat16),
+            "gps": jnp.zeros((b24, 2)),
+            "compass": jnp.zeros((b24, 1)),
+        }
+        gmap24 = init_global_map(b24, cfg.mapper, dtype=jnp.bfloat16)
+        mk24 = jnp.ones((b24, 1), jnp.bfloat16)
+        ex24 = hedge(update_map_n, (v16, obs24, gmap24, mk24, k2))
+        map_fps_b24 = measure_pair_diff(
+            "map_update_bf16_b24",
+            lambda: ex24(v16, obs24, gmap24, mk24, k1),
+            lambda: ex24(v16, obs24, gmap24, mk24, k2), b24)
+        result["extras"]["map_update_fps_b24"] = round(map_fps_b24, 2)
+        result["extras"]["baseline_fps_b24"] = round(
+            _reference_fps_at(BATCH_SCALED), 2)
+        result["extras"]["vs_baseline_b24"] = round(
+            map_fps_b24 / _reference_fps_at(BATCH_SCALED), 3)
+        emit()
 
-    # -- teacher-forcing training throughput -----------------------------------
+    # ---- STAGE 4: teacher-forcing training throughput ----------------------
     # full-size model on a realistic cached-feature batch (stage-1 shape:
     # BATCH_SIZE 8 episodes x ~48 subsampled frames, `dagger_trainer.py:82-83`
     # with the 24-step spin + stride-3 subsample).
-    from ws_mgmap_tpu.train import step as step_lib
-    from ws_mgmap_tpu.train.losses import MonitorConfig
+    if budget_ok("train_step", 700):
+        _log("stage 4: compile train step")
+        from ws_mgmap_tpu.train import step as step_lib
+        from ws_mgmap_tpu.train.losses import MonitorConfig
 
-    n_ep, t_len = 8, 48
-    tb = {
-        "instruction": jnp.asarray(np.pad(
-            rng.randint(1, 2504, (n_ep, 1, 16)),
-            ((0, 0), (0, 0), (0, 184))).repeat(t_len, axis=1)),
-        "rgb_features": jnp.asarray(
-            rng.randn(n_ep, t_len, 7, 7, 512).astype(np.float32) * 0.1),
-        "depth_features": jnp.asarray(
-            rng.randn(n_ep, t_len, 4, 4, 128).astype(np.float32) * 0.1),
-        "rgb_ego_map": jnp.asarray(
-            rng.rand(n_ep, t_len, 100, 100, 64).astype(np.float32)),
-        "waypoint": jnp.asarray(
-            rng.uniform(-0.9, 0.9, (n_ep, t_len, 2)).astype(np.float32)),
-        "progress": jnp.asarray(rng.rand(n_ep, t_len, 1).astype(np.float32)),
-        "gt_path": jnp.asarray(
-            (rng.rand(n_ep, t_len, 100, 100) * 40).astype(np.float32)),
-        "gt_semantic_map": jnp.asarray(
-            rng.randint(0, 27, (n_ep, t_len, 100, 100)).astype(np.int32)),
-    }
-    weights = jnp.ones((n_ep, t_len))
-    nd_masks = jnp.ones((n_ep, t_len)).at[:, 0].set(0.0)
-    train_batch = {"obs": tb, "weights": weights, "not_done_masks": nd_masks}
+        n_ep, t_len = 8, 48
+        tb = {
+            "instruction": jnp.asarray(np.pad(
+                rng.randint(1, 2504, (n_ep, 1, 16)),
+                ((0, 0), (0, 0), (0, 184))).repeat(t_len, axis=1)),
+            "rgb_features": jnp.asarray(
+                rng.randn(n_ep, t_len, 7, 7, 512).astype(np.float32) * 0.1),
+            "depth_features": jnp.asarray(
+                rng.randn(n_ep, t_len, 4, 4, 128).astype(np.float32) * 0.1),
+            "rgb_ego_map": jnp.asarray(
+                rng.rand(n_ep, t_len, 100, 100, 64).astype(np.float32)),
+            "waypoint": jnp.asarray(
+                rng.uniform(-0.9, 0.9, (n_ep, t_len, 2)).astype(np.float32)),
+            "progress": jnp.asarray(
+                rng.rand(n_ep, t_len, 1).astype(np.float32)),
+            "gt_path": jnp.asarray(
+                (rng.rand(n_ep, t_len, 100, 100) * 40).astype(np.float32)),
+            "gt_semantic_map": jnp.asarray(
+                rng.randint(0, 27, (n_ep, t_len, 100, 100)).astype(np.int32)),
+        }
+        weights = jnp.ones((n_ep, t_len))
+        nd_masks = jnp.ones((n_ep, t_len)).at[:, 0].set(0.0)
+        train_batch = {"obs": tb, "weights": weights,
+                       "not_done_masks": nd_masks}
 
-    opt = step_lib.make_optimizer(2.5e-4)
-    tstate = step_lib.create_train_state(
-        jax.tree.map(jnp.asarray, variables), opt)
-    update = step_lib.make_train_step(policy, opt, MonitorConfig(),
-                                      cfg.hidden_size)
+        opt = step_lib.make_optimizer(2.5e-4)
+        tstate = step_lib.create_train_state(
+            jax.tree.map(jnp.asarray, variables), opt)
+        update = step_lib.make_train_step(policy, opt, MonitorConfig(),
+                                          cfg.hidden_size)
+        # metrics carry template via shape-only tracing: avoids a second
+        # full compile of `update` outside the fori_loop (the standalone
+        # template compile measured ~half of this stage's 13-minute cost)
+        _, metrics_shape = jax.eval_shape(update, tstate, train_batch)
+        metrics0 = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), metrics_shape)
 
-    tstate, metrics0 = jax.jit(update)(tstate, train_batch)  # compile + template
+        @jax.jit
+        def train_n(tstate, metrics, batch, steps):
+            def body(i, carry):
+                st, _ = carry
+                return update(st, batch)
+            return lax.fori_loop(0, steps, body, (tstate, metrics))
 
-    @jax.jit
-    def train_n(tstate, metrics, batch, steps):
-        def body(i, carry):
-            st, _ = carry
-            return update(st, batch)
-        return lax.fori_loop(0, steps, body, (tstate, metrics))
+        kt1, kt2 = jnp.int32(1), jnp.int32(1 + 8)
+        timed(lambda: train_n(tstate, metrics0, train_batch, kt1)[1][
+            "loss"].reshape(1, 1))
+        t_short = min(timed(lambda: train_n(
+            tstate, metrics0, train_batch, kt1)[1]["loss"].reshape(1, 1))
+            for _ in range(2))
+        t_long = min(timed(lambda: train_n(
+            tstate, metrics0, train_batch, kt2)[1]["loss"].reshape(1, 1))
+            for _ in range(2))
+        train_fps = n_ep * t_len * 8 / max(t_long - t_short, 1e-6)
+        timings["train_step"] = {
+            "ms_per_step": round((t_long - t_short) / 8 * 1e3, 3),
+            "n_steps": 8, "frames_per_step": n_ep * t_len,
+            "samples_short_s": [round(t_short, 4)],
+            "samples_long_s": [round(t_long, 4)], "hedge_n": 1,
+        }
+        result["extras"]["train_frames_per_sec_per_chip"] = round(
+            train_fps, 2)
+        result["extras"]["train_batch"] = [n_ep, t_len]
+        emit()
 
-    kt1, kt2 = jnp.int32(1), jnp.int32(1 + 8)
-    timed(lambda: train_n(tstate, metrics0, train_batch, kt1)[1][
-        "loss"].reshape(1, 1))
-    t_short = min(timed(lambda: train_n(tstate, metrics0, train_batch, kt1)[1][
-        "loss"].reshape(1, 1)) for _ in range(2))
-    t_long = min(timed(lambda: train_n(tstate, metrics0, train_batch, kt2)[1][
-        "loss"].reshape(1, 1)) for _ in range(2))
-    train_fps = n_ep * t_len * 8 / max(t_long - t_short, 1e-6)
+    # ---- STAGE 5: fp32 parity mode (least important, most skippable) -------
+    if budget_ok("fp32_parity_mode", 300):
+        _log("stage 5: compile fp32 parity-mode map+act")
+        map32_ex = hedged_compile(
+            update_map_n, (variables, obs, gmap, masks, k2), n=1)
+        map_fps_fp32 = measure_pair_diff(
+            "map_update_fp32_b6",
+            lambda: map32_ex(variables, obs, gmap, masks, k1),
+            lambda: map32_ex(variables, obs, gmap, masks, k2), BATCH)
+        result["extras"]["map_update_fp32_parity_mode"] = round(
+            map_fps_fp32, 2)
+        emit()
+        if budget_ok("act_fp32_b6", 150):
+            act32_ex = hedged_compile(
+                act_n, (variables, obs, hidden, gmap, masks, k2), n=1)
+            act_fps_fp32 = measure_pair_diff(
+                "act_fp32_b6",
+                lambda: act32_ex(variables, obs, hidden, gmap, masks, k1),
+                lambda: act32_ex(variables, obs, hidden, gmap, masks, k2),
+                BATCH)
+            result["extras"]["act_fp32_parity_mode"] = round(act_fps_fp32, 2)
+            emit()
 
-    print(json.dumps({
-        "metric": "map_update_frames_per_sec_per_chip",
-        "value": round(map_fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(map_fps / REFERENCE_MAP_UPDATE_FPS, 3),
-        "extras": {
-            "rollout_mode": "bf16 frozen trunks (MODEL.ROLLOUT_BF16)",
-            "policy_act_steps_per_sec_per_chip": round(act_fps, 2),
-            "map_update_fp32_parity_mode": round(map_fps_fp32, 2),
-            "act_fp32_parity_mode": round(act_fps_fp32, 2),
-            "train_frames_per_sec_per_chip": round(train_fps, 2),
-            "train_batch": [n_ep, t_len],
-            "batch": BATCH,
-            "baseline_fps": REFERENCE_MAP_UPDATE_FPS,
-            "map_update_fps_b24": round(map_fps_b24, 2),
-            "baseline_fps_b24": round(_reference_fps_at(BATCH_SCALED), 2),
-            "vs_baseline_b24": round(
-                map_fps_b24 / _reference_fps_at(BATCH_SCALED), 3),
-            "device": str(jax.devices()[0]),
-        },
-    }))
+    emit()
+    _log("done")
 
 
 if __name__ == "__main__":

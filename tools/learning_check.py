@@ -89,8 +89,10 @@ def main():
     # (`common_trainer.py:210-226` semantics) and never returns here.
     from ws_mgmap_tpu.train import checkpoint as _ckpt_lib
     cfg2 = cfg.clone(); cfg2.defrost()
-    cfg2.EVAL_CKPT_PATH_DIR = _ckpt_lib.latest_checkpoint(
-        cfg.CHECKPOINT_FOLDER)
+    s1_ckpt = _ckpt_lib.latest_checkpoint(cfg.CHECKPOINT_FOLDER)
+    assert s1_ckpt is not None, (
+        f"no checkpoint produced in {cfg.CHECKPOINT_FOLDER}")
+    cfg2.EVAL_CKPT_PATH_DIR = s1_ckpt
     cfg2.freeze()
     trained = DaggerTrainer(cfg2, env_workers=False).eval()
 
@@ -158,7 +160,7 @@ def main():
         not_worse = (
             tuned.get("success", 0) >= s1.get("success", 0)
             and tuned.get("oracle_navigation_error", 99)
-            <= s1.get("oracle_navigation_error", 0) + 0.5
+            <= s1.get("oracle_navigation_error", 99) + 0.5
         )
         ok = ok and better and not_worse
     print("LEARNING CHECK:", "PASS" if ok else "FAIL")

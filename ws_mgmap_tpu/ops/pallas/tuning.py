@@ -88,8 +88,13 @@ def hedged_compile(fn, args, n: int = 2, time_fn=None):
         return _time.perf_counter() - t0
 
     time_fn = time_fn or _default_time
+    n = max(1, n)
     best = None
-    for _ in range(max(1, n)):
+    for draw in range(n):
+        if draw > 0:
+            # force this candidate to recompile; never clear after the last
+            # draw (n=1 must leave the jit caches warm for later stages)
+            jax.clear_caches()
         try:
             ex = jax.jit(fn).lower(*args).compile()
         except Exception as e:
@@ -98,8 +103,9 @@ def hedged_compile(fn, args, n: int = 2, time_fn=None):
             set_safe_mode(True)
             jax.clear_caches()
             ex = jax.jit(fn).lower(*args).compile()
+        if n == 1:
+            return ex  # no ranking needed; skip the timing runs too
         dt = min(time_fn(ex) for _ in range(2))
         if best is None or dt < best[0]:
             best = (dt, ex)
-        jax.clear_caches()  # force the next candidate to recompile
     return best[1]
