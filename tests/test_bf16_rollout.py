@@ -1,5 +1,7 @@
 """bf16 rollout mode: the frozen-trunk fast path must stay bfloat16 end to
 end on device (no silent fp32 promotion) and track the fp32 rollout."""
+import pytest
+
 import numpy as np
 
 import jax
@@ -46,6 +48,7 @@ def _raw_obs(b, o):
     return [{k: np.asarray(v[i]) for k, v in o.items()} for i in range(b)]
 
 
+@pytest.mark.slow
 def test_bf16_engine_matches_fp32_and_stays_narrow():
     policy, variables = _tiny_policy()
     b = 2

@@ -1,4 +1,6 @@
 """Parity: flax PointNav DD-PPO controller vs torch mirror."""
+import pytest
+
 import numpy as np
 import torch
 import torch.nn as nn
@@ -56,6 +58,7 @@ def rename(sd):
     return out
 
 
+@pytest.mark.slow
 def test_pointnav_policy_parity():
     t_net = TorchPointNav()
     t_net.eval()

@@ -4,6 +4,8 @@ Builds randomly-initialized torch oracles (tests/torch_mirrors.py), imports
 their state_dicts through utils/convert, and checks activations match in
 eval mode (running-stats BN / GroupNorm).
 """
+import pytest
+
 import numpy as np
 import torch
 
@@ -30,6 +32,7 @@ def randomize_bn_stats(module):
             m.running_var.uniform_(0.5, 1.5)
 
 
+@pytest.mark.slow
 def test_unet_parity():
     t_model = TorchResNetUNet()
     randomize_bn_stats(t_model)
@@ -60,6 +63,7 @@ def test_unet_parity():
     )
 
 
+@pytest.mark.slow
 def test_unet_roundtrip_export():
     """flax -> torch export must reproduce the torch state_dict exactly."""
     t_model = TorchResNetUNet()
@@ -77,6 +81,7 @@ def test_unet_roundtrip_export():
         np.testing.assert_allclose(back[k], v, atol=0, rtol=0, err_msg=k)
 
 
+@pytest.mark.slow
 def test_depth_encoder_parity():
     t_model = TorchResNetEncoder(spatial_size=64)  # depth 128 -> pooled 64
     t_model.eval()

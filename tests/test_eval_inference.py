@@ -62,6 +62,7 @@ def test_eval_while_training_reraises_on_repeat_failure(tmp_path, monkeypatch):
 
 
 @pytest.mark.timeout(900)
+@pytest.mark.slow
 def test_inference_covers_every_episode_once(tmp_path):
     """--run-type inference must dump one trajectory per dataset episode,
     terminating cleanly when env iterators cycle (2 env workers)."""

@@ -1,6 +1,8 @@
 """The driver's external checks must stay green: dryrun_multichip has to
 arrange its own virtual 8-device CPU mesh regardless of env/backend state
 (reference capability: DDP over N GPUs, common_trainer.py:35-44)."""
+import pytest
+
 import os
 import subprocess
 import sys
@@ -15,6 +17,8 @@ def _run(code: str, env: dict) -> subprocess.CompletedProcess:
     )
 
 
+@pytest.mark.slow
+@pytest.mark.subprocess
 def test_dryrun_multichip_forces_virtual_mesh():
     # Driver-like env: no JAX_PLATFORMS/XLA_FLAGS forcing. Keep the child
     # off the TPU relay by not touching jax before the call.
@@ -26,6 +30,8 @@ def test_dryrun_multichip_forces_virtual_mesh():
     assert "8-device dp step ok" in r.stdout
 
 
+@pytest.mark.slow
+@pytest.mark.subprocess
 def test_dryrun_multichip_after_jax_initialized():
     # Even if the caller already initialized a jax backend (1 device), the
     # dryrun must rebuild an 8-device cpu platform.

@@ -65,6 +65,7 @@ class _MockSim:
         self._agent = _Agent()
         self.pathfinder = _PathFinder()
         self.steps = []
+        self.previous_step_collided = False
         _MockSim.created.append(self)
 
     def get_agent(self, idx):
@@ -72,12 +73,21 @@ class _MockSim:
         return self._agent
 
     def step(self, name):
+        import math
+
         self.steps.append(name)
         st = self._agent._state
+        q = st.rotation
+        yaw = 2.0 * math.atan2(q.y, q.w)  # rotation about +y
         if name == "move_forward":
-            # habitat convention: forward is -z in the agent frame; with the
-            # identity rotation that is -z in world
-            st.position = st.position + np.array([0, 0, -0.25], np.float32)
+            # habitat convention: forward is -z in the agent frame
+            fwd = np.array([-math.sin(yaw), 0.0, -math.cos(yaw)], np.float32)
+            st.position = st.position + 0.25 * fwd
+        elif name == "turn_left":
+            yaw += math.radians(15.0)
+        elif name == "turn_right":
+            yaw -= math.radians(15.0)
+        st.rotation = _Quat(math.cos(yaw / 2), 0.0, math.sin(yaw / 2), 0.0)
 
     def get_sensor_observations(self):
         return {
@@ -151,6 +161,79 @@ def test_adapter_drives_habitat_api(habitat_backend):
     assert obs["depth"].shape == (256, 256, 1)
     np.testing.assert_allclose(obs["depth"][0, 0, 0], 0.3)
     assert obs["semantic"].shape == (224, 224)
+
+
+def test_adapter_through_production_env_stack(habitat_backend):
+    """Drive the adapter through `construct_envs` -> `VLNCEDaggerEnv.step`
+    -> sensors/measures for a full episode (spin -> waypoint-following ->
+    geodesic stop), not method-by-method (VERDICT r2 #6): catches protocol
+    drift between the adapter and the env layer before a TPU-VM host run.
+    Reference integration surface: `env_utils.py:73-77`,
+    `environments.py:35-71`."""
+    from ws_mgmap_tpu.config.default import get_config
+    from ws_mgmap_tpu.env.dataset import Episode, VLNCEDataset
+    from ws_mgmap_tpu.env.vector_env import construct_envs
+
+    cfg = get_config()
+    cfg.defrost()
+    cfg.NUM_PROCESSES = 1
+    cfg.TASK_CONFIG.SIMULATOR.TYPE = "Sim-v0"  # habitat adapter path
+    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 60
+    cfg.TASK_CONFIG.ENVIRONMENT.ITERATOR_OPTIONS.SHUFFLE = False
+    cfg.freeze()
+
+    start = [0.0, 0.0, 0.0]
+    goal = [0.0, 0.0, -3.0]  # straight ahead of the identity rotation
+    path = [start, [0.0, 0.0, -1.5], goal]
+    ep = Episode(
+        episode_id="hab0",
+        scene_id="scenes/X.glb",
+        start_position=start,
+        start_rotation=[0.0, 0.0, 0.0, 1.0],  # [x,y,z,w] identity
+        goals=[{"position": goal, "radius": 3.0}],
+        instruction={"instruction_text": "go forward",
+                     "instruction_tokens": [5, 7, 9] + [0] * 197},
+        reference_path=path,
+        info={"geodesic_distance": 3.75},
+    )
+    ds = VLNCEDataset([ep])
+    gt = {"hab0": {"locations": path}}
+
+    _MockSim.created.clear()
+    envs = construct_envs(cfg, ds, gt, auto_reset_done=False, workers=False)
+    obs = envs.reset()
+    assert len(_MockSim.created) == 1  # one sim per scene via the adapter
+    for key in ("rgb", "depth", "gps", "compass", "heading", "progress",
+                "instruction", "waypoint", "vln_oracle_action_sensor"):
+        assert key in obs[0], key
+    assert obs[0]["rgb"].shape == (224, 224, 3)
+    assert obs[0]["depth"].shape == (256, 256, 1)
+
+    done = False
+    infos = None
+    for step in range(60):
+        wp = np.asarray(obs[0]["waypoint"], np.float32)[:2]
+        action = np.arctanh(np.clip(wp, -0.99, 0.99))
+        outputs = envs.step([{  # trainer dict protocol
+            "action": action, "prog": -1.0,
+            "epidsode_reset_flag": step == 0}])
+        obs = [o[0] for o in outputs]
+        done = outputs[0][2]
+        infos = outputs[0][3]
+        if done:
+            break
+    assert done, "episode did not terminate within MAX_EPISODE_STEPS"
+    # the mock's geodesics are straight-line*1.25: following the oracle
+    # waypoint must reach the goal and stop inside the success radius
+    for key in ("distance_to_goal", "success", "spl", "ndtw",
+                "path_length", "oracle_success", "steps_taken"):
+        assert key in infos, key
+    assert infos["distance_to_goal"] < 0.5
+    assert infos["success"] == 1.0
+    assert infos["steps_taken"] > 24  # the forced look-around spin ran
+    sim = _MockSim.created[0]
+    assert sim.steps[:24] == ["turn_left"] * 24  # spin went through habitat
+    envs.close()
 
 
 def test_adapter_satisfies_simbackend_protocol(habitat_backend):

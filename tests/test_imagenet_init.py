@@ -53,6 +53,7 @@ def _policy_variables():
     return jax.tree.map(np.asarray, variables)
 
 
+@pytest.mark.slow
 def test_imagenet_resnet18_seeds_unet_and_decoder():
     variables = _policy_variables()
     sd = _resnet18_state_dict()

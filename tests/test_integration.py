@@ -48,6 +48,7 @@ def tiny_config(tmp_dir: str):
 
 
 @pytest.mark.timeout(900)
+@pytest.mark.slow
 def test_full_dagger_pipeline(tmp_path):
     from ws_mgmap_tpu.train.trainer import DaggerTrainer
 
@@ -78,6 +79,7 @@ def test_full_dagger_pipeline(tmp_path):
 
 
 @pytest.mark.timeout(900)
+@pytest.mark.slow
 def test_unique_episode_collection_terminates(tmp_path):
     """beta=1 collection must terminate cleanly when every env runs out of
     unique episodes before UPDATE_SIZE is reached (all-paused break)."""

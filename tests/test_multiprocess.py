@@ -40,6 +40,8 @@ def _wait(procs, timeout=900):
 
 
 @pytest.mark.timeout(1200)
+@pytest.mark.slow
+@pytest.mark.subprocess
 def test_two_process_losses_match_single_process(tmp_path):
     single = str(tmp_path / "single.json")
     ranks = str(tmp_path / "ranks.json")
@@ -56,6 +58,8 @@ def test_two_process_losses_match_single_process(tmp_path):
 
 
 @pytest.mark.timeout(1200)
+@pytest.mark.slow
+@pytest.mark.subprocess
 def test_two_process_full_pipeline(tmp_path):
     d = str(tmp_path)
     _wait([_spawn(["pipeline", "0", d]), _spawn(["pipeline", "1", d])])

@@ -116,6 +116,7 @@ def test_frozen_labels():
             assert np.any(np.asarray(u) != 0.0), path
 
 
+@pytest.mark.slow
 def test_dp8_matches_single_device(policy_and_state):
     """SURVEY §4: the jitted update on 1 vs 8 devices must agree.
 
@@ -173,6 +174,7 @@ def test_dp8_matches_single_device(policy_and_state):
         assert rel_l2 < 3e-2, ("/".join(k), rel_l2)
 
 
+@pytest.mark.slow
 def test_remat_matches_plain(policy_and_state):
     """jax.checkpoint rematerialization must not change losses/grad flow."""
     _, state, _ = policy_and_state

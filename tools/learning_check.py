@@ -34,7 +34,7 @@ def tiny_config(tmp_dir, episodes, epochs):
     cfg.CHECKPOINT_FOLDER = os.path.join(tmp_dir, "ckpt")
     cfg.TENSORBOARD_DIR = os.path.join(tmp_dir, "tb")
     cfg.EVAL.SPLIT = "val_seen"
-    cfg.EVAL.EPISODE_COUNT = 20  # 10 is noise-dominated at SR granularity
+    cfg.EVAL.EPISODE_COUNT = 30  # SR granularity 1/30; 10 is noise-dominated
     cfg.EVAL.USE_CKPT_CONFIG = False
     cfg.ep_max_len = 90
     cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 90
@@ -42,6 +42,15 @@ def tiny_config(tmp_dir, episodes, epochs):
     cfg.TASK_CONFIG.DATASET.FAKE_SCENES = 2
     cfg.TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT = 64
     cfg.TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH = 64
+    # 256^2 depth would run the frozen ResNet50 at full size every sim step
+    # — ~1.1 s/step on CPU, 10x the rest of the loop combined. 64^2 keeps
+    # the same code path (trunk -> 1x1 spatial + embeddings) at CPU speed.
+    cfg.TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT = 64
+    cfg.TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH = 64
+    cfg.MODEL.DEPTH_ENCODER.spatial_hw = 1  # (64/2)/32
+    # quarter-width UNet: the full-channel segmenter is ~1 s/step on a
+    # single CPU core; same layer graph, CPU-affordable
+    cfg.MODEL.RGB_ENCODER.unet_width = 0.25
     cfg.MODEL.RGBMAPPING.map_depth = 16
     cfg.MODEL.RGBMAPPING.global_map_size = 48
     cfg.MODEL.RGBMAPPING.egocentric_map_size = 20
@@ -57,7 +66,7 @@ def tiny_config(tmp_dir, episodes, epochs):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--episodes", type=int, default=32)
+    ap.add_argument("--episodes", type=int, default=48)
     ap.add_argument("--epochs", type=int, default=10)  # <=10 skips eval-while-training
     ap.add_argument("--platform", default="cpu")
     ap.add_argument("--two-stage", action="store_true",

@@ -248,8 +248,12 @@ _C.MODEL.RGB_ENCODER.pretrain_model = (
 # ours: torchvision resnet18 ImageNet state_dict for from-scratch init
 _C.MODEL.RGB_ENCODER.imagenet_resnet18 = "data/pretrain_model/resnet18-imagenet.pth"
 
+_C.MODEL.RGB_ENCODER.unet_width = 1.0  # channel multiplier (testbeds only)
+
 _C.MODEL.DEPTH_ENCODER = CN()
 _C.MODEL.DEPTH_ENCODER.output_size = 128
+# spatial side of the depth trunk (4 for 256^2 depth; (H/2)/32 otherwise)
+_C.MODEL.DEPTH_ENCODER.spatial_hw = 4
 _C.MODEL.DEPTH_ENCODER.backbone = "resnet50"
 _C.MODEL.DEPTH_ENCODER.ddppo_checkpoint = (
     "data/pretrain_model/ddppo-models/gibson-2plus-resnet50.pth")

@@ -133,17 +133,26 @@ def make_fake_dataset(
         yaw = float(rng.uniform(-math.pi, math.pi))
         path = [p.tolist() for p in scene.shortest_path_points(start, goal)]
         # Instructions carry real goal information (like language does):
-        # tokens 1-2 encode the start-relative goal bearing (16 bins) and
-        # distance (8 bins), the rest is random filler. This makes FakeSim
-        # a genuine learning testbed, not just a smoke harness.
+        # tokens encode the start-relative goal bearing (16 bins) and
+        # distance (8 bins), mixed with filler. This makes FakeSim a genuine
+        # learning testbed, not just a smoke harness. Two deliberate design
+        # points (learning-check round-3 diagnosis): the signal tokens
+        # repeat so the biLSTM cannot miss them, and filler comes from a
+        # SMALL shared vocab — high-entropy filler made each instruction a
+        # unique episode key, letting a tiny model memorize instruction ->
+        # waypoint-sequence on the train split and transfer nothing
+        # (rollout waypoint cosine vs oracle ~= 0 on val).
         rel = np.asarray(goal) - start
         bearing = math.atan2(-rel[0], -rel[2]) - yaw
         bearing_bin = int(((bearing + math.pi) % (2 * math.pi)) / (2 * math.pi) * 16)
         dist_bin = min(int(d / 1.5), 7)
-        n_tok = int(rng.randint(8, 24))
-        tokens = [2 + bearing_bin, 20 + dist_bin]
-        tokens += rng.randint(40, vocab_size, size=n_tok - 2).tolist()
-        tokens += [0] * (max_instruction_len - n_tok)
+        n_tok = int(rng.randint(12, 24))
+        sig = [2 + bearing_bin, 20 + dist_bin]
+        tokens = list(sig)
+        for t in rng.randint(40, 48, size=n_tok - 6).tolist():
+            tokens.append(t)
+        tokens += sig + sig  # repeat signal at the tail as well
+        tokens += [0] * (max_instruction_len - len(tokens))
         episodes.append(Episode(
             episode_id=str(eid),
             scene_id=scene_id,

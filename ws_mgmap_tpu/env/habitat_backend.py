@@ -42,7 +42,8 @@ class HabitatSimBackend:  # pragma: no cover - requires habitat assets
         })
         self._sim = habitat_sim.Simulator(make_cfg(settings))
         self._pathfinder = self._sim.pathfinder
-        self.record_heading = 0.0
+        self.record_heading = 0.0  # HeadingSensor side channel (`sensors.py:449`)
+        self.last_collided = False  # feeds the Collisions measure
 
     def reset_agent(self, position, rotation) -> None:
         state = self._sim.get_agent(0).get_state()
@@ -65,6 +66,8 @@ class HabitatSimBackend:  # pragma: no cover - requires habitat assets
         names = {1: "move_forward", 2: "turn_left", 3: "turn_right"}
         if action in names:
             self._sim.step(names[action])
+            self.last_collided = bool(
+                getattr(self._sim, "previous_step_collided", False))
 
     def geodesic_distance(self, a, b) -> float:
         import habitat_sim

@@ -48,6 +48,13 @@ class MGMapConfig:
     instr_hidden: int = 128
     rgb_output_size: int = 256
     depth_output_size: int = 128
+    # spatial side of the depth trunk output: 4 for the reference's 256^2
+    # depth (`resnet_encoders.py:62-70`); smaller testbeds shrink it with
+    # the sensor ((H/2)/32 after the input avg-pool + resnet /32)
+    depth_spatial: int = 4
+    # UNet channel-width multiplier (1.0 = reference arch, required for
+    # checkpoint conversion; testbeds shrink it for CPU affordability)
+    unet_width: float = 1.0
     map_output_size: int = 256
     ego_map_size: int = 100
     map_depth: int = 64
@@ -65,6 +72,8 @@ class MGMapConfig:
             instr_hidden=m.INSTRUCTION_ENCODER.hidden_size,
             rgb_output_size=m.RGB_ENCODER.output_size,
             depth_output_size=m.DEPTH_ENCODER.output_size,
+            depth_spatial=getattr(m.DEPTH_ENCODER, "spatial_hw", 4),
+            unet_width=getattr(m.RGB_ENCODER, "unet_width", 1.0),
             map_output_size=m.MAP_ENCODER.output_size,
             ego_map_size=m.MAP_ENCODER.ego_map_size,
             map_depth=m.RGBMAPPING.map_depth,
@@ -136,13 +145,15 @@ class MGMapNet(nn.Module):
             hidden_size=c.instr_hidden,
             name="instruction_encoder",
         )
-        self.rgb_encoder = UNet(name="rgb_encoder")
+        self.rgb_encoder = UNet(width_mult=c.unet_width, name="rgb_encoder")
         self.depth_encoder = VlnResnetDepthEncoder(name="depth_encoder")
 
         # torch Sequential-index linears (`mg_map_policy.py:38-63,101-109`)
-        self._rgb_lin = _dense_params(self, "rgb_linear.2", c.rgb_output_size, 512)
+        self._rgb_lin = _dense_params(self, "rgb_linear.2", c.rgb_output_size,
+                                      max(8, int(512 * c.unet_width)))
         self._depth_lin = _dense_params(
-            self, "depth_linear.1", c.depth_output_size, 192 * 4 * 4)
+            self, "depth_linear.1", c.depth_output_size,
+            192 * c.depth_spatial ** 2)
         self._map_lin = _dense_params(
             self, "map_linear.2", c.map_output_size, c.map_output_size)
 

@@ -31,10 +31,11 @@ class _Layer0(nn.Module):
     """Sequential(conv1 7x7 s2, bn1, relu) == resnet children[:3]."""
 
     in_c: int
+    out_c: int = 64
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
-        x = tconv(self.in_c, 64, 7, 2, 3, bias=False, name="0")(x)
+        x = tconv(self.in_c, self.out_c, 7, 2, 3, bias=False, name="0")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="1")(x)
         return nn.relu(x)
@@ -43,36 +44,46 @@ class _Layer0(nn.Module):
 class _Layer1(nn.Module):
     """Sequential(maxpool, resnet.layer1) == resnet children[3:5]."""
 
+    c: int = 64
+
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
         x = max_pool_3x3s2(x)
-        return ResLayer(64, 64, 1, name="1")(x, train)
+        return ResLayer(self.c, self.c, 1, name="1")(x, train)
 
 
 class ResNetUNet(nn.Module):
-    """See module docstring. ``n_class_out=27`` for the mpcat40->27 remap."""
+    """See module docstring. ``n_class_out=27`` for the mpcat40->27 remap.
+
+    ``width_mult`` scales every internal channel count (1.0 = the reference
+    architecture, required for checkpoint conversion). Small-scale testbeds
+    (tools/learning_check.py) shrink it so the frozen-UNet step is CPU-
+    affordable; the layer graph and parameter naming are unchanged."""
 
     n_channel_in: int = 3
     n_class_out: int = 27
+    width_mult: float = 1.0
 
     output_bottleneck_channels: int = 512
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Tuple[Array, Array, Array]:
         """Returns (layer4_feat [B,7,7,512], proj_feat [B,224,224,64],
-        seg_logits [B,224,224,27])."""
-        x_original = ConvBNReLU(self.n_channel_in, 64, 3, 1,
+        seg_logits [B,224,224,27]) at width_mult=1."""
+        c64, c128, c256, c512 = (max(8, int(c * self.width_mult))
+                                 for c in (64, 128, 256, 512))
+        x_original = ConvBNReLU(self.n_channel_in, c64, 3, 1,
                                 name="conv_original_size0")(x, train)
-        x_original = ConvBNReLU(64, 64, 3, 1,
+        x_original = ConvBNReLU(c64, c64, 3, 1,
                                 name="conv_original_size1")(x_original, train)
 
-        layer0 = _Layer0(self.n_channel_in, name="layer0")(x, train)
-        layer1 = _Layer1(name="layer1")(layer0, train)
-        layer2 = ResLayer(64, 128, 2, name="layer2")(layer1, train)
-        layer3 = ResLayer(128, 256, 2, name="layer3")(layer2, train)
-        layer4 = ResLayer(256, 512, 2, name="layer4")(layer3, train)
+        layer0 = _Layer0(self.n_channel_in, c64, name="layer0")(x, train)
+        layer1 = _Layer1(c64, name="layer1")(layer0, train)
+        layer2 = ResLayer(c64, c128, 2, name="layer2")(layer1, train)
+        layer3 = ResLayer(c128, c256, 2, name="layer3")(layer2, train)
+        layer4 = ResLayer(c256, c512, 2, name="layer4")(layer3, train)
 
-        layer4 = ConvBNReLU(512, 512, 1, 0, name="layer4_1x1")(layer4, train)
+        layer4 = ConvBNReLU(c512, c512, 1, 0, name="layer4_1x1")(layer4, train)
         bottleneck = layer4
 
         # Decoder: the upsample+skip channel concats are passed as x2 so
@@ -81,31 +92,31 @@ class ResNetUNet(nn.Module):
         # conv, `unet_encoder.py:77-110`; torch weight layout [up | skip]
         # is preserved, so parameters are interchangeable).
         y = upsample_bilinear_x2_nhwc(layer4)
-        layer3 = ConvBNReLU(256, 256, 1, 0, name="layer3_1x1")(layer3, train)
-        y = ConvBNReLU(256 + 512, 512, 3, 1, name="conv_up3")(y, train,
-                                                              x2=layer3)
+        layer3 = ConvBNReLU(c256, c256, 1, 0, name="layer3_1x1")(layer3, train)
+        y = ConvBNReLU(c256 + c512, c512, 3, 1, name="conv_up3")(y, train,
+                                                                 x2=layer3)
 
         y = upsample_bilinear_x2_nhwc(y)
-        layer2 = ConvBNReLU(128, 128, 1, 0, name="layer2_1x1")(layer2, train)
-        y = ConvBNReLU(128 + 512, 256, 3, 1, name="conv_up2")(y, train,
-                                                              x2=layer2)
+        layer2 = ConvBNReLU(c128, c128, 1, 0, name="layer2_1x1")(layer2, train)
+        y = ConvBNReLU(c128 + c512, c256, 3, 1, name="conv_up2")(y, train,
+                                                                 x2=layer2)
 
         y = upsample_bilinear_x2_nhwc(y)
-        layer1 = ConvBNReLU(64, 64, 1, 0, name="layer1_1x1")(layer1, train)
-        y = ConvBNReLU(64 + 256, 256, 3, 1, name="conv_up1")(y, train,
-                                                             x2=layer1)
+        layer1 = ConvBNReLU(c64, c64, 1, 0, name="layer1_1x1")(layer1, train)
+        y = ConvBNReLU(c64 + c256, c256, 3, 1, name="conv_up1")(y, train,
+                                                                x2=layer1)
 
         y = upsample_bilinear_x2_nhwc(y)
-        layer0 = ConvBNReLU(64, 64, 1, 0, name="layer0_1x1")(layer0, train)
-        y = ConvBNReLU(64 + 256, 128, 3, 1, name="conv_up0")(y, train,
-                                                             x2=layer0)
+        layer0 = ConvBNReLU(c64, c64, 1, 0, name="layer0_1x1")(layer0, train)
+        y = ConvBNReLU(c64 + c256, c128, 3, 1, name="conv_up0")(y, train,
+                                                                x2=layer0)
 
         y = upsample_bilinear_x2_nhwc(y)
-        proj_feat = ConvBNReLU(64 + 128, 64, 3, 1,
+        proj_feat = ConvBNReLU(c64 + c128, c64, 3, 1,
                                name="conv_original_size2")(y, train,
                                                            x2=x_original)
 
-        seg = tconv(64, self.n_class_out, 1, 1, 0, bias=True,
+        seg = tconv(c64, self.n_class_out, 1, 1, 0, bias=True,
                     name="conv_last")(proj_feat)
 
         return bottleneck, proj_feat, seg
@@ -116,6 +127,9 @@ class UNet(nn.Module):
     segmenter lives under ``base_model``. Frozen during policy training
     (`mg_map_policy.py:36-37`); the caller must pass ``train=False``."""
 
+    width_mult: float = 1.0
+
     @nn.compact
     def __call__(self, rgb: Array, train: bool = False):
-        return ResNetUNet(name="base_model")(rgb, train)
+        return ResNetUNet(width_mult=self.width_mult,
+                          name="base_model")(rgb, train)

@@ -75,6 +75,8 @@ def collect_dataset(
 
     count_step = 0
     collected = 0
+    mix_taken = 0  # oracle-waypoint steps actually taken (beta diagnostics)
+    mix_total = 0
     pending_records: List[bytes] = []
 
     def store_count() -> int:
@@ -162,6 +164,8 @@ def collect_dataset(
                               for o in observations])
         mix = rng.rand(envs.num_envs) < beta
         actions = np.where(mix[:, None], waypoints, actions)
+        mix_taken += int(mix.sum())
+        mix_total += envs.num_envs
 
         # append step with cached features (`dagger_trainer.py:451-469`)
         for i in range(envs.num_envs):
@@ -195,6 +199,8 @@ def collect_dataset(
     writer.close()
     envs.close()
     log_fn(f"[collect] rank {rank}: appended {collected} episodes "
-           f"(store total {store_count()})")
+           f"(store total {store_count()}); beta={beta:.3f} "
+           f"oracle-mix {mix_taken}/{mix_total}"
+           f" ({mix_taken / max(mix_total, 1):.2f})")
     timers.report(log_fn)
     return collected
