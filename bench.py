@@ -232,6 +232,26 @@ def main():
         }
         return fps
 
+    # Per-stage wall times from previous runs (sidecar next to the compile
+    # cache): a warm re-run's stages cost seconds, not the cold-compile
+    # minutes the static estimates assume — without this, a warm run under
+    # a tight budget skips stages it could easily afford.
+    stage_times_path = os.path.join(cache_dir, "bench_stage_times.json")
+    try:
+        with open(stage_times_path) as f:
+            stage_times = json.load(f)
+    except Exception:
+        stage_times = {}
+
+    def record_stage(stage, t_start):
+        stage_times[stage] = round(time.time() - t_start, 1)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            with open(stage_times_path, "w") as f:
+                json.dump(stage_times, f)
+        except OSError:
+            pass
+
     result = {
         "metric": "map_update_frames_per_sec_per_chip",
         "value": None,
@@ -254,6 +274,7 @@ def main():
 
     # ---- STAGE 1 (headline): bf16 B=6 map-update ---------------------------
     _log("stage 1: compile bf16 B=6 update_map")
+    _t_stage = time.time()
     v16 = cast_tree(variables, jnp.bfloat16)
     o16 = dict(cast_tree(obs, jnp.bfloat16), gps=obs["gps"],
                compass=obs["compass"])  # coordinate math stays fp32
@@ -267,18 +288,22 @@ def main():
     result["value"] = round(map_fps, 2)
     result["vs_baseline"] = round(map_fps / REFERENCE_MAP_UPDATE_FPS, 3)
     emit()  # headline exists from this point on
+    record_stage("stage1_headline", _t_stage)
     _log(f"headline: {map_fps:.1f} f/s ({map_fps/REFERENCE_MAP_UPDATE_FPS:.2f}x)")
 
     def budget_ok(stage, est_s):
+        if stage in stage_times:  # measured last time; warm cache ~ same
+            est_s = min(est_s, stage_times[stage] * 1.3 + 15)
         if _remaining() > est_s:
             return True
         result["extras"]["skipped"].append(stage)
-        _log(f"skip {stage}: {_remaining():.0f}s left < est {est_s}s")
+        _log(f"skip {stage}: {_remaining():.0f}s left < est {est_s:.0f}s")
         return False
 
     # ---- STAGE 2: bf16 B=6 act ---------------------------------------------
     if budget_ok("act_bf16_b6", 120):
         _log("stage 2: compile bf16 B=6 act")
+        _t_stage = time.time()
         hd16 = hidden.astype(jnp.bfloat16)
         act_ex = hedge(act_n, (v16, o16, hd16, gm16, mk16, k2))
         act_fps = measure_pair_diff(
@@ -288,6 +313,7 @@ def main():
         result["extras"]["policy_act_steps_per_sec_per_chip"] = round(
             act_fps, 2)
         emit()
+        record_stage("act_bf16_b6", _t_stage)
 
     # ---- STAGE 3: TPU-efficient batch B=24 ---------------------------------
     # The reference runs 6 sim procs/GPU (README.md:80); a TPU chip is fed by
@@ -295,6 +321,7 @@ def main():
     # Compared against the SAME roofline derivation evaluated at B=24.
     if budget_ok("map_update_bf16_b24", 150):
         _log("stage 3: compile bf16 B=24 update_map")
+        _t_stage = time.time()
         b24 = BATCH_SCALED
         obs24 = {
             "instruction": jnp.asarray(
@@ -320,6 +347,7 @@ def main():
         result["extras"]["vs_baseline_b24"] = round(
             map_fps_b24 / _reference_fps_at(BATCH_SCALED), 3)
         emit()
+        record_stage("map_update_bf16_b24", _t_stage)
 
     # ---- STAGE 4: teacher-forcing training throughput ----------------------
     # full-size model on a realistic cached-feature batch (stage-1 shape:
@@ -327,6 +355,7 @@ def main():
     # with the 24-step spin + stride-3 subsample).
     if budget_ok("train_step", 700):
         _log("stage 4: compile train step")
+        _t_stage = time.time()
         from ws_mgmap_tpu.train import step as step_lib
         from ws_mgmap_tpu.train.losses import MonitorConfig
 
@@ -394,10 +423,12 @@ def main():
             train_fps, 2)
         result["extras"]["train_batch"] = [n_ep, t_len]
         emit()
+        record_stage("train_step", _t_stage)
 
     # ---- STAGE 5: fp32 parity mode (least important, most skippable) -------
     if budget_ok("fp32_parity_mode", 300):
         _log("stage 5: compile fp32 parity-mode map+act")
+        _t_stage = time.time()
         map32_ex = hedged_compile(
             update_map_n, (variables, obs, gmap, masks, k2), n=1)
         map_fps_fp32 = measure_pair_diff(
@@ -407,7 +438,9 @@ def main():
         result["extras"]["map_update_fp32_parity_mode"] = round(
             map_fps_fp32, 2)
         emit()
+        record_stage("fp32_parity_mode", _t_stage)
         if budget_ok("act_fp32_b6", 150):
+            _t_stage = time.time()
             act32_ex = hedged_compile(
                 act_n, (variables, obs, hidden, gmap, masks, k2), n=1)
             act_fps_fp32 = measure_pair_diff(
@@ -417,6 +450,7 @@ def main():
                 BATCH)
             result["extras"]["act_fp32_parity_mode"] = round(act_fps_fp32, 2)
             emit()
+            record_stage("act_fp32_b6", _t_stage)
 
     emit()
     _log("done")
