@@ -40,12 +40,10 @@ class GTMapActionMaker(ActionMaker):
 
     def action_decision(self, sim, waypoint: np.ndarray) -> int:
         action = greedy_follower_action(sim, waypoint, goal_radius=0.5)
-        if action is None or action == 0:
-            # the reference maps follower-None to MOVE_FORWARD
-            # (`action_maker.py:41-44`); STOP toward a waypoint means
-            # "close enough", keep moving decisions to the stop logic.
-            return 1 if action is None else 0
-        return action
+        # follower-None (within 0.5 m of the WAYPOINT) -> MOVE_FORWARD
+        # (`action_maker.py:41-44`): only decide_stop/prog may end the
+        # episode, never waypoint arrival.
+        return 1 if action is None else action
 
 
 class DDPPOActionMaker(ActionMaker):

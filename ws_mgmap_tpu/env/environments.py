@@ -146,6 +146,8 @@ class VLNCEDaggerEnv:
             self._sims[ep.scene_id] = self.sim_factory(ep.scene_id)
         self.sim = self._sims[ep.scene_id]
         self.sim.reset_agent(ep.start_position, ep.start_rotation_quat)
+        if hasattr(self.sim, "set_goal"):  # FakeSim goal beacon (testbed)
+            self.sim.set_goal(ep.goals[0]["position"])
         if not ep.info.get("geodesic_distance"):
             ep.info["geodesic_distance"] = self.sim.geodesic_distance(
                 np.asarray(ep.start_position), ep.goals[0]["position"])

@@ -124,7 +124,8 @@ def oracle_action_sensor(sim, episode, ctx) -> np.ndarray:
     along the shortest path to the goal."""
     action = greedy_follower_action(sim, episode.goals[0]["position"],
                                     goal_radius=0.5)
-    return np.array([action], np.float32)
+    # None -> STOP, as in the reference sensor (`sensors.py:58-61`)
+    return np.array([0 if action is None else action], np.float32)
 
 
 class ShortestPathFollower:
@@ -143,16 +144,27 @@ class ShortestPathFollower:
         return greedy_follower_action(self._sim, goal_pos, self._goal_radius)
 
 
-def greedy_follower_action(sim, goal, goal_radius: float = 0.5) -> int:
+def greedy_follower_action(sim, goal, goal_radius: float = 0.5):
     """Geodesic greedy follower (ShortestPathFollowerCompat-equivalent,
     `habitat_extensions/shortest_path_follower.py:25-187`): steer toward
-    the next shortest-path vertex, FORWARD when roughly aligned."""
+    the next shortest-path vertex, FORWARD when roughly aligned.
+
+    Returns **None** when already within ``goal_radius`` — exactly the
+    reference follower (`shortest_path_follower.py:62-69`). The two callers
+    interpret None differently, and the distinction is load-bearing:
+    the oracle-action sensor maps None -> STOP (`sensors.py:58-61`), while
+    GTMapActionMaker maps None -> MOVE_FORWARD (`action_maker.py:41-44`) —
+    reaching the *waypoint* must NOT end the episode (conflating these
+    made any near-agent waypoint prediction an instant episode stop,
+    poisoning beta<1 DAgger collection; round-3 diagnosis)."""
     ag = sim.get_agent_state()
     if sim.geodesic_distance(ag.position, goal) < goal_radius:
-        return 0  # STOP
+        return None
     pts = sim.get_straight_shortest_path_points(ag.position, goal)
     if len(pts) < 2:
-        return 0
+        # no usable gradient direction: the reference moves forward
+        # (`shortest_path_follower.py:71-73`)
+        return 1
     # first vertex sufficiently far from the agent
     target = pts[-1]
     for p in pts[1:]:

@@ -190,6 +190,21 @@ class FakeSim:
         self._yaw = 0.0
         self.record_heading = 0.0  # HeadingSensor side channel (`sensors.py:449`)
         self.last_collided = False  # feeds the Collisions measure
+        self._goal: np.ndarray | None = None  # visible goal beacon (optional)
+
+    def set_goal(self, position) -> None:
+        """Place a visible goal beacon for the current episode.
+
+        Matterport scenes make goals *describable* ("the red armchair");
+        FakeSim's procedural boxes don't, so without this the oracle
+        waypoint is unlearnable from observations (the policy can only
+        regress "straight ahead"). The beacon renders the goal as a
+        distinct semantic column (label 26) in RGB-D whenever it is in
+        line of sight, so its features splat into the ego map at the true
+        goal cell — the spatial signal the multi-granularity map method
+        (`rgb_mapping.py:79-90`) is designed to exploit. Test-infrastructure
+        only; the Habitat backend has no such method."""
+        self._goal = np.asarray(position, np.float64).copy()
 
     # -- state ---------------------------------------------------------------
     def reset_agent(self, position, rotation) -> None:
@@ -273,6 +288,16 @@ class FakeSim:
                       colz[first, np.arange(n_cols)]],
             0,
         ).astype(np.int32)
+        if self._goal is not None:
+            # goal beacon: a 0.35 m-radius post at the goal, visible when
+            # the ray's closest approach beats the wall hit (no x-ray)
+            gx = self._goal[0] - self._pos[0]
+            gz = self._goal[2] - self._pos[2]
+            t = gx * dir_x + gz * dir_z  # along-ray distance
+            perp2 = (gx - t * dir_x) ** 2 + (gz - t * dir_z) ** 2
+            beacon = (t > 0.0) & (perp2 < 0.35 ** 2) & (t < hit_r)
+            hit_r = np.where(beacon, t, hit_r)
+            labels = np.where(beacon, 26, labels)
         depths = hit_r * np.cos(alphas)  # perpendicular z-depth
         return depths, labels
 

@@ -39,6 +39,132 @@ EPS_INVALID = -1e16
 
 @functools.partial(jax.jit,
                    static_argnames=("ego_size", "chunk", "n_acc"))
+def splat_pallas_packed(feats: Array, lin_ids: Array, ego_size: int = 100,
+                        chunk: int = 1024, n_acc: int | None = None) -> Array:
+    """Packed-row variant of :func:`splat_pallas` (v5).
+
+    A (cells, 64) fp32 accumulator wastes half of every 128-lane VMEM row;
+    packing TWO adjacent cells per row — cell 2r in lanes [0,64), cell 2r+1
+    in lanes [64,128) — halves the real footprint of each accumulator copy,
+    so n_acc=8 independent copies fit where v4 fit 4. Each pixel's RMW
+    becomes a full-row maximum against a half-lane-masked value vector
+    (the non-owned half is -inf, so it never wins); same op count per
+    pixel, twice the interleaving of the serialized RMW chains.
+
+    feats [B, P, C] fp32/bf16, lin_ids [B, P] int32 (-1 = invalid pixel).
+    Returns [B, E, E, C] fp32, zero at never-written cells.
+    """
+    if n_acc is None:
+        from ws_mgmap_tpu.ops.pallas import tuning
+
+        # n_acc=4 is the VMEM ceiling: copies are (cells/2, 2C) fp32 =
+        # 2.56 MB at the production shape, the out block is double-buffered
+        # across batch grid steps, so 4 copies + dup + input ~ 13.9 MB.
+        # (The unpacked v4 kernel at n_acc=4 needs 25.4 MB inside the full
+        # update_map program and NEVER compiled in production — the scoped-
+        # vmem fallback silently degraded every run to safe mode.)
+        n_acc = 2 if tuning.safe_mode() else 4
+    b, p, c = feats.shape
+    acc = jnp.float32
+    cells = ego_size * ego_size
+    assert cells % 2 == 0, ego_size
+    rows = cells // 2
+    # one trash row past the real cells absorbs invalid pixels
+    rows_pad = -(-(rows + 1) // 8) * 8
+    trash = rows
+    n_chunks = -(-p // chunk)
+    p_pad = n_chunks * chunk
+    if p_pad != p:
+        feats = jnp.pad(feats, ((0, 0), (0, p_pad - p), (0, 0)))
+        lin_ids = jnp.pad(lin_ids, ((0, 0), (0, p_pad - p)),
+                          constant_values=-1)
+
+    groups = chunk // n_acc
+    assert groups * n_acc == chunk, (chunk, n_acc)
+
+    grid = (b, n_chunks)
+    in_specs = [
+        pl.BlockSpec((b, chunk), lambda bi, ci: (0, ci),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, chunk, c), lambda bi, ci: (bi, ci, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = pl.BlockSpec((1, rows_pad, 2 * c),
+                             lambda bi, ci: (bi, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def kernel(ids_ref, feats_ref, out_ref, *scratch):
+        bi = pl.program_id(0)
+        ci = pl.program_id(1)
+        *scratch, dup_ref = scratch
+        # duplicate the chunk's rows across both lane halves (fp32), one
+        # vector pass; the RMW below masks the half the pixel doesn't own
+        rows32 = feats_ref[0].astype(acc)
+        dup_ref[:, :c] = rows32
+        dup_ref[:, c:] = rows32
+
+        @pl.when(ci == 0)
+        def _():
+            full = jnp.full((rows_pad, 2 * c), EPS_INVALID, acc)
+            out_ref[0] = full
+            for a in scratch:
+                a[:] = full
+
+        def load(g, idx):
+            if g == 0:
+                return out_ref[0, pl.ds(idx, 1), :]
+            return scratch[g - 1][pl.ds(idx, 1), :]
+
+        def store(g, idx, val):
+            if g == 0:
+                out_ref[0, pl.ds(idx, 1), :] = val
+            else:
+                scratch[g - 1][pl.ds(idx, 1), :] = val
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * c), 1)
+
+        def body(q, _):
+            for g in range(n_acc):
+                idx = ids_ref[bi, q * n_acc + g]
+                r = jnp.where(idx < 0, trash, idx >> 1)
+                h0 = jnp.where(idx < 0, 0, (idx & 1) * c)
+                keep = (lane >= h0) & (lane < h0 + c)
+                val = jnp.where(keep, dup_ref[pl.ds(q * n_acc + g, 1), :],
+                                EPS_INVALID)
+                store(g, r, jnp.maximum(load(g, r), val))
+            return 0
+
+        jax.lax.fori_loop(0, groups, body, 0)
+
+        @pl.when(ci == n_chunks - 1)
+        def _():
+            merged = out_ref[0]
+            for a in scratch:
+                merged = jnp.maximum(merged, a[:])
+            out_ref[0] = merged
+
+    scratch_shapes = [pltpu.VMEM((rows_pad, 2 * c), acc)
+                      for _ in range(n_acc - 1)]
+    scratch_shapes.append(pltpu.VMEM((chunk, 2 * c), acc))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=jax.ShapeDtypeStruct((b, rows_pad, 2 * c), acc),
+        scratch_shapes=scratch_shapes,
+        interpret=jax.default_backend() == "cpu",
+    )(lin_ids.astype(jnp.int32), feats)
+
+    # packed row r = [cell 2r | cell 2r+1]: a row-major reshape unpacks
+    out = out[:, :rows, :].reshape(b, cells, c)
+    out = jnp.where(out <= jnp.asarray(EPS_INVALID, acc), 0.0, out)
+    return out.reshape(b, ego_size, ego_size, c)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ego_size", "chunk", "n_acc"))
 def splat_pallas(feats: Array, lin_ids: Array, ego_size: int = 100,
                  chunk: int = 1024, n_acc: int | None = None) -> Array:
     """feats [B, P, C] (fp32 or bf16), lin_ids [B, P] int32 with invalid

@@ -148,12 +148,15 @@ def splat_to_ground(
         backend = "pallas" if on_accel and c % 64 == 0 else "xla"
 
     if backend == "pallas":
-        from ws_mgmap_tpu.ops.pallas.splat import splat_pallas
+        from ws_mgmap_tpu.ops.pallas.splat import splat_pallas_packed
 
         skip_ids = jnp.where(invalid, -1, y_gp * ego_size + x_gp)
         # bf16 feats go in natively — the kernel casts each chunk block to
-        # fp32 in VMEM, skipping a full-feature-map fp32 round-trip in HBM
-        out = splat_pallas(
+        # fp32 in VMEM, skipping a full-feature-map fp32 round-trip in HBM.
+        # Packed-row kernel: 2 cells per 128-lane row, so 4-way accumulator
+        # interleaving fits the scoped VMEM limit inside the full program
+        # (the unpacked kernel's n_acc=4 config never compiled there).
+        out = splat_pallas_packed(
             feats.reshape(b, -1, c), skip_ids.reshape(b, -1),
             ego_size=ego_size)
         return out.astype(feats.dtype)
