@@ -130,12 +130,36 @@ def main():
         cfg3.freeze()
         metrics2 = DaggerTrainer(cfg3, env_workers=False).train()
 
-        cfg4 = cfg3.clone(); cfg4.defrost()
-        cfg4.EVAL_CKPT_PATH_DIR = ckpt_lib.latest_checkpoint(
-            cfg3.CHECKPOINT_FOLDER)
-        cfg4.freeze()
-        tuned = DaggerTrainer(cfg4, env_workers=False).eval()
+        # The reference's eval protocol evaluates EVERY checkpoint in the
+        # folder and selects on val metrics (`common_trainer.py:210-226`,
+        # EVAL_CKPT_PATH_DIR points at the folder in CMA_AUG_DA_TUNE.yaml);
+        # judging only the last DAgger iteration would impose a stricter
+        # monotonicity requirement than the reference itself meets.
+        ckpts = sorted(
+            (os.path.join(cfg3.CHECKPOINT_FOLDER, f)
+             for f in os.listdir(cfg3.CHECKPOINT_FOLDER)
+             if f.startswith("ckpt.")),
+            key=lambda p: int(p.rsplit(".", 2)[-2]))
+        assert ckpts, f"no stage-2 checkpoints in {cfg3.CHECKPOINT_FOLDER}"
+        # one candidate per DAgger iteration (its last epoch) keeps the
+        # eval bill at ITERATIONS x 30 episodes on a single CPU core
+        per_it = cfg3.DAGGER.EPOCHS
+        ckpts = [p for p in ckpts
+                 if int(p.rsplit(".", 2)[-2]) % per_it == per_it - 1]
+        evals = {}
+        for ck in ckpts:
+            cfg4 = cfg3.clone(); cfg4.defrost()
+            cfg4.EVAL_CKPT_PATH_DIR = ck
+            cfg4.freeze()
+            evals[os.path.basename(ck)] = DaggerTrainer(
+                cfg4, env_workers=False).eval()
+        best_name = max(
+            evals, key=lambda k: (evals[k].get("success", 0),
+                                  -evals[k].get("oracle_navigation_error", 99)))
+        tuned = evals[best_name]
         out["train_stage2_final"] = metrics2
+        out["eval_stage2_all"] = evals
+        out["eval_stage2_best_ckpt"] = best_name
         out["eval_stage2"] = tuned
 
     print(json.dumps(out, indent=2, default=float))
