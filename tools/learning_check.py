@@ -52,9 +52,15 @@ def tiny_config(tmp_dir, episodes, epochs):
     # single CPU core; same layer graph, CPU-affordable
     cfg.MODEL.RGB_ENCODER.unet_width = 0.25
     cfg.MODEL.RGBMAPPING.map_depth = 16
-    cfg.MODEL.RGBMAPPING.global_map_size = 48
-    cfg.MODEL.RGBMAPPING.egocentric_map_size = 20
-    cfg.MODEL.MAP_ENCODER.ego_map_size = 20
+    # Ego coverage must contain the supervision: oracle waypoints sit on
+    # the GT-path frontier at radius 20*0.12 = 2.4 m (`sensors.py:203-254`
+    # semantics), so a 20-cell (+-1.2 m) ego map cannot even represent the
+    # target the text->map attention is supposed to point at. 48 cells =
+    # +-2.88 m covers every waypoint and shows the goal beacon in the map
+    # through the endgame approach.
+    cfg.MODEL.RGBMAPPING.global_map_size = 96
+    cfg.MODEL.RGBMAPPING.egocentric_map_size = 48
+    cfg.MODEL.MAP_ENCODER.ego_map_size = 48
     cfg.MODEL.MAP_ENCODER.output_size = 32
     cfg.MODEL.RGB_ENCODER.output_size = 32
     cfg.MODEL.DEPTH_ENCODER.output_size = 16

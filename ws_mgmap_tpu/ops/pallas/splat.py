@@ -55,6 +55,8 @@ def splat_pallas_packed(feats: Array, lin_ids: Array, ego_size: int = 100,
     Returns [B, E, E, C] fp32, zero at never-written cells.
     """
     if n_acc is None:
+        import os
+
         from ws_mgmap_tpu.ops.pallas import tuning
 
         # n_acc=4 is the VMEM ceiling: copies are (cells/2, 2C) fp32 =
@@ -63,7 +65,17 @@ def splat_pallas_packed(feats: Array, lin_ids: Array, ego_size: int = 100,
         # (The unpacked v4 kernel at n_acc=4 needs 25.4 MB inside the full
         # update_map program and NEVER compiled in production — the scoped-
         # vmem fallback silently degraded every run to safe mode.)
-        n_acc = 2 if tuning.safe_mode() else 4
+        # Default n_acc=2: standalone, 4 copies win (2.68 vs 3.0 ms), but
+        # INSIDE the full update_map program the extra ~5 MB of persistent
+        # scratch squeezes the neighboring fused ops and the whole step
+        # REGRESSES (measured 9.0-9.3 ms/step vs 8.0 across 5 schedule
+        # draws). Packed rows at n_acc=2 keep full-lane RMWs at the same
+        # footprint as the old safe config. WS_SPLAT_NACC overrides for
+        # tuning sweeps.
+        env = os.environ.get("WS_SPLAT_NACC")
+        n_acc = int(env) if env else 2
+        if tuning.safe_mode():
+            n_acc = min(n_acc, 2)
     b, p, c = feats.shape
     acc = jnp.float32
     cells = ego_size * ego_size

@@ -148,17 +148,30 @@ def splat_to_ground(
         backend = "pallas" if on_accel and c % 64 == 0 else "xla"
 
     if backend == "pallas":
-        from ws_mgmap_tpu.ops.pallas.splat import splat_pallas_packed
+        import os
+
+        from ws_mgmap_tpu.ops.pallas.splat import (splat_pallas,
+                                                   splat_pallas_packed)
 
         skip_ids = jnp.where(invalid, -1, y_gp * ego_size + x_gp)
         # bf16 feats go in natively — the kernel casts each chunk block to
         # fp32 in VMEM, skipping a full-feature-map fp32 round-trip in HBM.
-        # Packed-row kernel: 2 cells per 128-lane row, so 4-way accumulator
-        # interleaving fits the scoped VMEM limit inside the full program
-        # (the unpacked kernel's n_acc=4 config never compiled there).
-        out = splat_pallas_packed(
-            feats.reshape(b, -1, c), skip_ids.reshape(b, -1),
-            ego_size=ego_size)
+        # Kernel choice (WS_SPLAT_KERNEL overrides for sweeps): the packed
+        # 2-cells-per-row variant wins STANDALONE at n_acc=4 and is the
+        # only 4-way-interleaved config that fits scoped VMEM, but inside
+        # the full update_map program its unpack step relayouts the whole
+        # [B,cells/2,2C] buffer and the surrounding fusion regresses
+        # (measured 9.1-9.9 vs 7.9-8.0 ms/step at B=6). The classic v4
+        # kernel at the safe n_acc=2 remains the production default.
+        kern = os.environ.get("WS_SPLAT_KERNEL", "v4")
+        if kern == "packed":
+            out = splat_pallas_packed(
+                feats.reshape(b, -1, c), skip_ids.reshape(b, -1),
+                ego_size=ego_size)
+        else:
+            out = splat_pallas(
+                feats.reshape(b, -1, c), skip_ids.reshape(b, -1),
+                ego_size=ego_size, n_acc=2)
         return out.astype(feats.dtype)
 
     def one(feat_flat: Array, ids_flat: Array) -> Array:
