@@ -40,6 +40,11 @@ def tiny_config(tmp_dir, episodes, epochs):
     cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 90
     cfg.TASK_CONFIG.DATASET.FAKE_EPISODES = episodes * 2  # headroom for unique-episode pausing
     cfg.TASK_CONFIG.DATASET.FAKE_SCENES = 2
+    # Episode difficulty sized to the tiny model + 48-episode budget: above
+    # SUCCESS_DISTANCE 3.0 (never pre-solved) but short enough that the
+    # beacon enters the 48-cell ego map (+-2.88 m) after ~1-2 m of approach.
+    cfg.TASK_CONFIG.DATASET.FAKE_MIN_GEODESIC = 3.5
+    cfg.TASK_CONFIG.DATASET.FAKE_MAX_GEODESIC = 5.5
     cfg.TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT = 64
     cfg.TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH = 64
     # 256^2 depth would run the frozen ResNet50 at full size every sim step

@@ -150,6 +150,10 @@ def _task_config() -> CN:
     # missing so the full stack runs without Matterport3D assets)
     t.DATASET.FAKE_EPISODES = 16
     t.DATASET.FAKE_SCENES = 2
+    # FakeSim episode difficulty band (geodesic start->goal, meters).
+    # Must stay above TASK.SUCCESS_DISTANCE so nothing starts pre-solved.
+    t.DATASET.FAKE_MIN_GEODESIC = 4.0
+    t.DATASET.FAKE_MAX_GEODESIC = 8.0
     return t
 
 

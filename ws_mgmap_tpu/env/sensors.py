@@ -364,7 +364,18 @@ class GtSemanticMapSensor:
                        0, scene.n - 1)
         cols = np.clip(((xs + half) / scene.spec.cell_m).astype(np.int64),
                        0, scene.n - 1)
-        return scene.sem[rows[:, None], cols[None, :]].astype(np.float32)
+        gm = scene.sem[rows[:, None], cols[None, :]].astype(np.float32)
+        goal_beacon = getattr(sim, "_goal", None)
+        if goal_beacon is not None:
+            # FakeSim goal tower (sim.py::set_goal): stamp its 0.35 m disk
+            # into the synthesized GT map so the map-prediction aux loss
+            # supervises the beacon's map location instead of erasing it
+            r = (goal_beacon[2] - start[2]) / self.CELL + g // 2
+            c = (goal_beacon[0] - start[0]) / self.CELL + g // 2
+            rr, cc = np.ogrid[:g, :g]
+            disk = (rr - r) ** 2 + (cc - c) ** 2 <= (0.35 / self.CELL) ** 2
+            gm[disk] = 26.0
+        return gm
 
     def __call__(self, sim, episode, ctx) -> np.ndarray:
         if ctx._gt_semmap_rotated is None:

@@ -289,13 +289,21 @@ class FakeSim:
             0,
         ).astype(np.int32)
         if self._goal is not None:
-            # goal beacon: a 0.35 m-radius post at the goal, visible when
-            # the ray's closest approach beats the wall hit (no x-ray)
+            # goal beacon: a 0.35 m-radius TALL post at the goal, visible
+            # over the maze walls (x-ray in this 2.5-D column renderer —
+            # physically a tower above single-story walls). Round-3
+            # diagnosis: when the post was wall-occluded the task had NO
+            # per-step observable direction signal outside ego-map range
+            # (instruction bearing is start-relative; the map shows the
+            # goal only inside the ego crop), so imitation rationally
+            # collapsed to forward-wandering. The tower plays the role a
+            # language landmark plays in Matterport scenes: a visual cue
+            # the policy can servo on across the whole 4-8 m approach.
             gx = self._goal[0] - self._pos[0]
             gz = self._goal[2] - self._pos[2]
             t = gx * dir_x + gz * dir_z  # along-ray distance
             perp2 = (gx - t * dir_x) ** 2 + (gz - t * dir_z) ** 2
-            beacon = (t > 0.0) & (perp2 < 0.35 ** 2) & (t < hit_r)
+            beacon = (t > 0.0) & (perp2 < 0.35 ** 2) & (t < self.max_depth_m)
             hit_r = np.where(beacon, t, hit_r)
             labels = np.where(beacon, 26, labels)
         depths = hit_r * np.cos(alphas)  # perpendicular z-depth
@@ -320,6 +328,13 @@ class FakeSim:
             ((base * 2.3 + 71) * shade) % 255,
         ], axis=-1).astype(np.float32)
         rgb = np.broadcast_to(rgb, (rh, rw, 3)).copy()
+        if self._goal is not None:
+            bc = rl == 26
+            if bc.any():
+                # unshaded saturated beacon color: wall colors wrap mod 255
+                # under distance shading (non-monotonic hues), so the
+                # beacon gets the one hue the trunk can never confuse
+                rgb[:, bc] = np.array([255.0, 40.0, 220.0], np.float32)
 
         sem = np.broadcast_to(labels[None, :], (dh, dw)).copy()
         return {"rgb": rgb, "depth": depth, "semantic": sem}

@@ -40,6 +40,7 @@ def load_split(config, split: str):
     files are absent."""
     import gzip
     import json
+    import zlib
 
     path = config.TASK_CONFIG.DATASET.DATA_PATH.format(split=split)
     if os.path.exists(path):
@@ -53,8 +54,14 @@ def load_split(config, split: str):
     n = config.TASK_CONFIG.DATASET.FAKE_EPISODES
     n_scenes = config.TASK_CONFIG.DATASET.FAKE_SCENES
     scenes = [f"fake/{split}_{i}" for i in range(n_scenes)]
-    ds = make_fake_dataset(num_episodes=n, scenes=scenes,
-                           seed=abs(hash(split)) % 1000)
+    # zlib.crc32, not hash(): str hash is salted per process, which would
+    # give every run — and every distributed RANK — a different episode
+    # set for the same split
+    ds = make_fake_dataset(
+        num_episodes=n, scenes=scenes,
+        seed=zlib.crc32(split.encode()) % 1000,
+        min_geodesic=config.TASK_CONFIG.DATASET.FAKE_MIN_GEODESIC,
+        max_geodesic=config.TASK_CONFIG.DATASET.FAKE_MAX_GEODESIC)
     return ds, fake_gt_locations(ds)
 
 
