@@ -37,6 +37,26 @@ def test_cli_rehearsal_all_run_types(tmp_path):
     assert "CLI REHEARSAL: PASS" in out
 
 
+def test_learning_check_config_initializes():
+    """The learning check's reduced geometry must build a working policy:
+    MapEncoder.output_hw(ego) has to be divisible by 4 or the MapDecoder's
+    upsample-skip concat crashes (ego=48 -> 11 was committed broken in r3
+    and cost an hour-long run to surface). Init the actual tiny_config
+    model instead of trusting the arithmetic."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import learning_check
+
+    from ws_mgmap_tpu.models.map_modules import MapEncoder
+    cfg = learning_check.tiny_config("/tmp/_lc_cfgtest", 4, 1)
+    ego = cfg.MODEL.MAP_ENCODER.ego_map_size
+    assert MapEncoder.output_hw(ego) % 4 == 0, ego
+
+    from ws_mgmap_tpu.train.trainer import DaggerTrainer
+    trainer = DaggerTrainer(cfg, env_workers=False)
+    variables = trainer.init_variables()
+    assert "params" in variables
+
+
 @pytest.mark.slow
 @pytest.mark.subprocess
 def test_parity_eval_fixture_mode():

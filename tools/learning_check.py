@@ -60,12 +60,16 @@ def tiny_config(tmp_dir, episodes, epochs):
     # Ego coverage must contain the supervision: oracle waypoints sit on
     # the GT-path frontier at radius 20*0.12 = 2.4 m (`sensors.py:203-254`
     # semantics), so a 20-cell (+-1.2 m) ego map cannot even represent the
-    # target the text->map attention is supposed to point at. 48 cells =
-    # +-2.88 m covers every waypoint and shows the goal beacon in the map
-    # through the endgame approach.
-    cfg.MODEL.RGBMAPPING.global_map_size = 96
-    cfg.MODEL.RGBMAPPING.egocentric_map_size = 48
-    cfg.MODEL.MAP_ENCODER.ego_map_size = 48
+    # target the text->map attention is supposed to point at. 52 cells =
+    # +-3.12 m covers every waypoint and shows the goal beacon in the map
+    # through the endgame approach. Size constraint: MapEncoder.output_hw
+    # must be divisible by 4 for the MapDecoder's upsample-skip alignment
+    # (52 -> 12, like production 100 -> 24; 48 -> 11 CRASHES). The global
+    # map must cover the agent's full wander range from the episode start:
+    # (144-52)/2 cells = 5.5 m margin >= FAKE_MAX_GEODESIC.
+    cfg.MODEL.RGBMAPPING.global_map_size = 144
+    cfg.MODEL.RGBMAPPING.egocentric_map_size = 52
+    cfg.MODEL.MAP_ENCODER.ego_map_size = 52
     cfg.MODEL.MAP_ENCODER.output_size = 32
     cfg.MODEL.RGB_ENCODER.output_size = 32
     cfg.MODEL.DEPTH_ENCODER.output_size = 16
