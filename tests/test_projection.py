@@ -120,3 +120,48 @@ def test_pallas_splat_backend_matches_xla():
     b = projection.splat_to_ground(jnp.asarray(feats), x_gp, y_gp, valid, EGO,
                                    backend="pallas")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_rotate_in_splat_zero_angle_bitwise():
+    """heading=0 must leave the coordinate math bitwise unchanged."""
+    feats = RNG.randn(2, 21, 21, 4).astype(np.float32)
+    depth = (RNG.rand(2, 24, 24, 1) * 8).astype(np.float32)
+    zero = jnp.zeros((2,), jnp.float32)
+    a = projection.project_egocentric(
+        jnp.asarray(feats), jnp.asarray(depth), zero,
+        ego_size=EGO, local_scale=SCALE)
+    b = projection.project_egocentric(
+        jnp.asarray(feats), jnp.asarray(depth), zero,
+        ego_size=EGO, local_scale=SCALE, rotate_coords=True)
+    # the reference chain still runs a (identity) bilinear warp that leaves
+    # tiny resampling fuzz; the rotated-coords path has none
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_rotate_in_splat_matches_rotate_after():
+    """Rotating coordinates before binning must land every feature within
+    one cell of where splat-then-bilinear-rotate puts it (the half-cell
+    rounding both paths inherently carry), across headings.
+
+    Probe: single bright pixels -> compare peak cell locations."""
+    ego = 64
+    for angle in (-2.1, -0.7, 0.4, 1.3, 2.9):
+        heading = jnp.full((1,), angle, jnp.float32)
+        # one pixel at image center-ish with a distinctive value
+        feats = np.zeros((1, 16, 16, 1), np.float32)
+        feats[0, 8, 11, 0] = 7.0
+        depth = np.full((1, 16, 16, 1), 2.5, np.float32)
+        ref = projection.project_egocentric(
+            jnp.asarray(feats), jnp.asarray(depth), heading,
+            ego_size=ego, local_scale=SCALE)
+        fast = projection.project_egocentric(
+            jnp.asarray(feats), jnp.asarray(depth), heading,
+            ego_size=ego, local_scale=SCALE, rotate_coords=True)
+        ref = np.asarray(ref)[0, :, :, 0]
+        fast = np.asarray(fast)[0, :, :, 0]
+        ry, rx = np.unravel_index(np.argmax(ref), ref.shape)
+        fy, fx = np.unravel_index(np.argmax(fast), fast.shape)
+        assert abs(int(ry) - int(fy)) <= 1 and abs(int(rx) - int(fx)) <= 1, (
+            angle, (ry, rx), (fy, fx))
+        # the fast path lands the full value in one cell
+        assert fast.max() == 7.0

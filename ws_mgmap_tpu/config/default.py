@@ -289,6 +289,9 @@ _C.MODEL.RGBMAPPING.map_depth = 64
 _C.MODEL.RGBMAPPING.global_map_size = 240
 _C.MODEL.RGBMAPPING.egocentric_map_size = 100
 _C.MODEL.RGBMAPPING.resolution = 0.12
+# rotate splat coordinates instead of warping the splatted grid (TPU fast
+# path, half-cell-equivalent but not bitwise; see ops/projection.py)
+_C.MODEL.RGBMAPPING.rotate_in_splat = False
 _C.MODEL.RGBMAPPING.gpu_id = 0
 _C.MODEL.RGBMAPPING.num_proc = 1
 

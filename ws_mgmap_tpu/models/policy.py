@@ -84,6 +84,8 @@ class MGMapConfig:
                 ego_size=m.RGBMAPPING.egocentric_map_size,
                 global_size=m.RGBMAPPING.global_map_size,
                 map_depth=m.RGBMAPPING.map_depth,
+                rotate_in_splat=getattr(m.RGBMAPPING, "rotate_in_splat",
+                                        False),
             ),
         )
 

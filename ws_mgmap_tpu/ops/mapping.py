@@ -47,6 +47,11 @@ class MapperParams(NamedTuple):
     # kernel on accelerators — 2.5x over XLA's scatter, see PERF.md — with
     # XLA segment_max elsewhere), or force "xla"/"pallas"
     splat_backend: str = "auto"
+    # rotate the splat coordinates instead of bilinearly warping the
+    # splatted [B,E,E,C] grid (ops/projection.py::project_egocentric):
+    # content-equivalent within the splat's own half-cell rounding but not
+    # bitwise — opt-in for the production rollout, off in fp32 parity mode
+    rotate_in_splat: bool = False
 
     @property
     def coordinate_min(self) -> float:
@@ -218,5 +223,6 @@ def rgb_mapping_step(
         ego_size=p.ego_size,
         local_scale=p.grid_size,
         backend=p.splat_backend,
+        rotate_coords=p.rotate_in_splat,
     )
     return register_and_retrieve(global_map, ego_proj, gps, compass, masks, p)

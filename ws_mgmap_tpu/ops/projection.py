@@ -40,6 +40,7 @@ def spatial_locs(
     local_scale: float,
     fov_deg: float = 90.0,
     out_hw: Tuple[int, int] | None = None,
+    heading: Array | None = None,
 ) -> Tuple[Array, Array, Array]:
     """Back-project a depth map to ego-grid cell coordinates.
 
@@ -54,6 +55,13 @@ def spatial_locs(
         to computing at depth resolution and subsampling after (the same
         elementwise ops on the same values), but gathers one [B,Hf,Wf]
         array instead of three and skips the math on dropped pixels.
+      heading: optional [B] angles. When given, the ground coordinates are
+        rotated about the map center BEFORE cell binning — the rotate-in-
+        splat fast path (see :func:`project_egocentric`). The convention
+        matches ``rotate_about_center(grid, heading)`` applied after an
+        unrotated splat: that warp reads out(r) = in(A r) with
+        A = [[cos, sin], [-sin, cos]] in (x, y), so a pixel that lands at
+        p unrotated must land at r = A^-1 p = [[cos, -sin], [sin, cos]] p.
     Returns:
       (x_gp, y_gp, valid): each [B, out H, out W]; integer cell coords and
       validity.
@@ -85,9 +93,15 @@ def spatial_locs(
     valid = (z != 0) & (y3d > -1.5) & (y3d < 0.1)
 
     half = (ego_size - 1) / 2.0
+    u = x3d / local_scale
+    v = -(z / local_scale)
+    if heading is not None:
+        c = jnp.cos(heading.reshape(-1))[:, None, None]
+        s = jnp.sin(heading.reshape(-1))[:, None, None]
+        u, v = c * u - s * v, s * u + c * v
     # torch .round() rounds half-to-even; jnp.round matches.
-    x_gp = jnp.round(x3d / local_scale + half).astype(jnp.int32)
-    y_gp = jnp.round(-(z / local_scale) + half).astype(jnp.int32)
+    x_gp = jnp.round(u + half).astype(jnp.int32)
+    y_gp = jnp.round(v + half).astype(jnp.int32)
     return x_gp, y_gp, valid
 
 
@@ -187,7 +201,8 @@ def splat_to_ground(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("ego_size", "local_scale", "backend"))
+                   static_argnames=("ego_size", "local_scale", "backend",
+                                    "rotate_coords"))
 def project_egocentric(
     feats: Array,
     depth_m: Array,
@@ -195,13 +210,29 @@ def project_egocentric(
     ego_size: int = 100,
     local_scale: float = 0.12,
     backend: str = "xla",
+    rotate_coords: bool = False,
 ) -> Array:
     """Full per-frame projection: pinhole -> splat -> rotate to heading.
 
     Mirrors `Projection.forward` (`rgb_mapping.py:264-268`); the caller passes
     ``heading = -compass`` exactly like `Mapping.project_feat_to_map`
     (`rgb_mapping.py:37`).
+
+    ``rotate_coords=True`` is the TPU fast path: instead of splatting into
+    an axis-aligned grid and bilinearly warping the whole [B,E,E,C] result
+    (a full HBM round trip + element gather), each pixel's ground
+    coordinate is rotated before cell binning and the splat writes the
+    rotated grid directly. Content-equivalent to within the half-cell
+    rounding the splat already performs — and sharper, since features land
+    in whole cells instead of being bilinearly smeared over 4 — but not
+    bitwise equal to the reference chain, so it is opt-in (production bf16
+    rollout; the fp32 parity mode keeps the literal splat-then-rotate).
     """
+    if rotate_coords:
+        x_gp, y_gp, valid = spatial_locs(depth_m, ego_size, local_scale,
+                                         out_hw=feats.shape[1:3],
+                                         heading=heading)
+        return splat_to_ground(feats, x_gp, y_gp, valid, ego_size, backend)
     x_gp, y_gp, valid = spatial_locs(depth_m, ego_size, local_scale,
                                      out_hw=feats.shape[1:3])
     grid = splat_to_ground(feats, x_gp, y_gp, valid, ego_size, backend)
