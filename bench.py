@@ -124,6 +124,15 @@ def main():
 
     cfg = MGMapConfig()
     policy = BasePolicy(cfg)
+    # Production TPU rollout mode: bf16 frozen trunks + rotate-in-splat
+    # (MODEL.RGBMAPPING.rotate_in_splat — coordinates rotated before cell
+    # binning instead of bilinearly warping the splatted grid; half-cell
+    # equivalent, measured 7.98 -> 4.99 ms/step at B=6). The fp32 parity
+    # stages keep the literal reference chain on `policy`.
+    import dataclasses as _dc
+    cfg_fast = _dc.replace(
+        cfg, mapper=cfg.mapper._replace(rotate_in_splat=True))
+    policy_fast = BasePolicy(cfg_fast)
     rng = np.random.RandomState(0)
     obs = {
         "instruction": jnp.asarray(
@@ -154,36 +163,45 @@ def main():
     # the carried global map / hidden state), so per-launch RPC/runtime
     # overhead is amortized exactly like a production pipelined rollout;
     # throughput = B*(K2-K1) / (t(K2) - t(K1)).
-    def update_map_n(variables, obs, gmap, masks, steps):
-        def body(i, gm):
-            # perturb rgb/depth too so XLA cannot hoist the encoders out
-            o = dict(obs, compass=obs["compass"] + 0.05 * i,
-                     rgb=obs["rgb"] + 0.01 * i,
-                     depth=obs["depth"] + 1e-4 * i)
-            _, gm = policy.apply(variables, o, masks, gm,
-                                 method=BasePolicy.update_map)
-            return gm
-        return lax.fori_loop(0, steps, body, gmap)
+    def make_update_map_n(pol):
+        def update_map_n(variables, obs, gmap, masks, steps):
+            def body(i, gm):
+                # perturb rgb/depth too so XLA cannot hoist the encoders out
+                o = dict(obs, compass=obs["compass"] + 0.05 * i,
+                         rgb=obs["rgb"] + 0.01 * i,
+                         depth=obs["depth"] + 1e-4 * i)
+                _, gm = pol.apply(variables, o, masks, gm,
+                                  method=BasePolicy.update_map)
+                return gm
+            return lax.fori_loop(0, steps, body, gmap)
+        return update_map_n
 
-    def act_n(variables, obs, hidden, gmap, masks, steps):
-        # per-episode text cache as in the production RolloutEngine: the
-        # instruction biLSTM runs once per episode, not per step (its
-        # one-off cost amortizes over the ~45-200 steps of an episode)
-        text, text_pad = policy.apply(variables, obs["instruction"],
-                                      method=BasePolicy.encode_text)
+    def make_act_n(pol):
+        def act_n(variables, obs, hidden, gmap, masks, steps):
+            # per-episode text cache as in the production RolloutEngine: the
+            # instruction biLSTM runs once per episode, not per step (its
+            # one-off cost amortizes over the ~45-200 steps of an episode)
+            text, text_pad = pol.apply(variables, obs["instruction"],
+                                       method=BasePolicy.encode_text)
 
-        def body(i, carry):
-            h, gm, acc = carry
-            o = dict(obs, compass=obs["compass"] + 0.05 * i,
-                     rgb=obs["rgb"] + 0.01 * i,
-                     depth=obs["depth"] + 1e-4 * i,
-                     text_features=text, text_pad=text_pad)
-            out = policy.apply(variables, o, h, masks, gm, True,
-                               method=BasePolicy.act)
-            return out.hidden, out.global_map, acc + out.action
-        n = obs["rgb"].shape[0]
-        return lax.fori_loop(0, steps, body,
-                             (hidden, gmap, jnp.zeros((n, 2))))
+            def body(i, carry):
+                h, gm, acc = carry
+                o = dict(obs, compass=obs["compass"] + 0.05 * i,
+                         rgb=obs["rgb"] + 0.01 * i,
+                         depth=obs["depth"] + 1e-4 * i,
+                         text_features=text, text_pad=text_pad)
+                out = pol.apply(variables, o, h, masks, gm, True,
+                                method=BasePolicy.act)
+                return out.hidden, out.global_map, acc + out.action
+            n = obs["rgb"].shape[0]
+            return lax.fori_loop(0, steps, body,
+                                 (hidden, gmap, jnp.zeros((n, 2))))
+        return act_n
+
+    update_map_n = make_update_map_n(policy_fast)
+    act_n = make_act_n(policy_fast)
+    update_map_n_parity = make_update_map_n(policy)
+    act_n_parity = make_act_n(policy)
 
     from ws_mgmap_tpu.ops.pallas.tuning import (hedged_compile,
                                                 with_compile_fallback)
@@ -258,7 +276,9 @@ def main():
         "unit": "frames/s",
         "vs_baseline": None,
         "extras": {
-            "rollout_mode": "bf16 frozen trunks (MODEL.ROLLOUT_BF16)",
+            "rollout_mode": ("bf16 frozen trunks + rotate-in-splat "
+                             "(MODEL.ROLLOUT_BF16, "
+                             "MODEL.RGBMAPPING.rotate_in_splat)"),
             "batch": BATCH,
             "baseline_fps": REFERENCE_MAP_UPDATE_FPS,
             "device": str(jax.devices()[0]),
@@ -430,7 +450,7 @@ def main():
         _log("stage 5: compile fp32 parity-mode map+act")
         _t_stage = time.time()
         map32_ex = hedged_compile(
-            update_map_n, (variables, obs, gmap, masks, k2), n=1)
+            update_map_n_parity, (variables, obs, gmap, masks, k2), n=1)
         map_fps_fp32 = measure_pair_diff(
             "map_update_fp32_b6",
             lambda: map32_ex(variables, obs, gmap, masks, k1),
@@ -442,7 +462,7 @@ def main():
         if budget_ok("act_fp32_b6", 150):
             _t_stage = time.time()
             act32_ex = hedged_compile(
-                act_n, (variables, obs, hidden, gmap, masks, k2), n=1)
+                act_n_parity, (variables, obs, hidden, gmap, masks, k2), n=1)
             act_fps_fp32 = measure_pair_diff(
                 "act_fp32_b6",
                 lambda: act32_ex(variables, obs, hidden, gmap, masks, k1),

@@ -9,6 +9,7 @@ Stages timed separately (loop-in-jit, see tools/microbench.py):
   step        full update_map (policy.apply) — should ~= unet + mapchain
 """
 import argparse
+import dataclasses
 import functools
 import os
 import sys
@@ -25,9 +26,19 @@ def main():
     ap.add_argument("--steps", type=int, default=24)
     ap.add_argument("--stages", default="unet,mapchain,splat,rotate,step")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--rotate-in-splat", action="store_true",
+                    help="enable the coordinate-rotation splat fast path")
     args = ap.parse_args()
 
     import jax
+
+    # persistent compile cache (separate from bench.py's curated .jax_cache
+    # so schedule curation stays scoped to the driver benchmark programs)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("BD_CACHE", "/tmp/bd_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     import jax.numpy as jnp
     from jax import lax
 
@@ -65,6 +76,9 @@ def main():
         return ms
 
     cfg = MGMapConfig()
+    if args.rotate_in_splat:
+        cfg = dataclasses.replace(
+            cfg, mapper=cfg.mapper._replace(rotate_in_splat=True))
     rgb = jnp.asarray(rng.randint(0, 255, (B, 224, 224, 3))).astype(dtype)
     depth = jnp.asarray(rng.rand(B, 256, 256, 1).astype(np.float32)).astype(dtype)
     gps = jnp.zeros((B, 2))
