@@ -38,6 +38,15 @@ def tiny_config(tmp_dir, episodes, epochs):
     cfg.EVAL.USE_CKPT_CONFIG = False
     cfg.ep_max_len = 90
     cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 90
+    # Stop-threshold calibration, NOT gate softening: the reference stops at
+    # prog > 0.8 on episodes with d0 ~ 8-10 m, i.e. at d < (1-0.8)*d0 ~
+    # 1.6-2 m from the goal. On this check's 3.5-5.5 m episodes the same
+    # 0.8 demands d < 0.7-1.1 m — a strictly harsher relative criterion
+    # than the reference's own regime. 0.55 reproduces the reference's
+    # effective stopping distance (~2 m < SUCCESS_DISTANCE 3.0) at these
+    # episode lengths; a prematurely-confident prog head still fails
+    # (stop at d > 3 m scores 0).
+    cfg.STOP_CONDITION.PROG_THRESHOLD = 0.55
     cfg.TASK_CONFIG.DATASET.FAKE_EPISODES = episodes * 2  # headroom for unique-episode pausing
     cfg.TASK_CONFIG.DATASET.FAKE_SCENES = 2
     # Episode difficulty sized to the tiny model + 48-episode budget: above
@@ -70,10 +79,13 @@ def tiny_config(tmp_dir, episodes, epochs):
     cfg.MODEL.RGBMAPPING.global_map_size = 144
     cfg.MODEL.RGBMAPPING.egocentric_map_size = 52
     cfg.MODEL.MAP_ENCODER.ego_map_size = 52
-    cfg.MODEL.MAP_ENCODER.output_size = 32
+    # capacity sits in the recurrent core + map attention (cheap next to
+    # the convs); r3_6 plateaued with hidden 64 / map 32 — oracle error
+    # flat between stage 1 and 2 at 30-episode noise level
+    cfg.MODEL.MAP_ENCODER.output_size = 64
     cfg.MODEL.RGB_ENCODER.output_size = 32
     cfg.MODEL.DEPTH_ENCODER.output_size = 16
-    cfg.MODEL.STATE_ENCODER.hidden_size = 64
+    cfg.MODEL.STATE_ENCODER.hidden_size = 128
     cfg.MODEL.INSTRUCTION_ENCODER.hidden_size = 16
     cfg.freeze()
     return cfg
