@@ -86,7 +86,10 @@ def tiny_config(tmp_dir, episodes, epochs):
     cfg.MODEL.RGB_ENCODER.output_size = 32
     cfg.MODEL.DEPTH_ENCODER.output_size = 16
     cfg.MODEL.STATE_ENCODER.hidden_size = 128
-    cfg.MODEL.INSTRUCTION_ENCODER.hidden_size = 16
+    # dimension contract (policy.second_in_size): text embedding = 2*instr
+    # hidden must equal hidden/2, map attention = MAP_ENCODER.output_size
+    # must equal hidden/2
+    cfg.MODEL.INSTRUCTION_ENCODER.hidden_size = 32
     cfg.freeze()
     return cfg
 
