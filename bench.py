@@ -27,7 +27,12 @@ Env knobs:
   BENCH_BUDGET_S  wall-clock budget in seconds (default 900); stages that
                   would start past the budget are skipped and listed in
                   extras["skipped"].
-  BENCH_HEDGE     best-of-n whole-program compiles (default 1 = off).
+  BENCH_HEDGE     best-of-n whole-program compiles (default 1 = off; note
+                  a persistent compile cache makes in-process hedging a
+                  no-op — schedule re-rolls need empty cache dirs, see
+                  tools/curate_cache.py).
+  BENCH_STAGES    comma list restricting which stages run (default all):
+                  headline,act,b24,train,fp32. The headline always runs.
 """
 import json
 import os
@@ -311,7 +316,17 @@ def main():
     record_stage("stage1_headline", _t_stage)
     _log(f"headline: {map_fps:.1f} f/s ({map_fps/REFERENCE_MAP_UPDATE_FPS:.2f}x)")
 
+    stages_sel = set(
+        os.environ.get("BENCH_STAGES", "headline,act,b24,train,fp32")
+        .split(","))
+    _STAGE_KEY = {"act_bf16_b6": "act", "map_update_bf16_b24": "b24",
+                  "train_step": "train", "fp32_parity_mode": "fp32",
+                  "act_fp32_b6": "fp32"}
+
     def budget_ok(stage, est_s):
+        if _STAGE_KEY[stage] not in stages_sel:
+            result["extras"]["skipped"].append(stage)
+            return False
         if stage in stage_times:  # measured last time; warm cache ~ same
             est_s = min(est_s, stage_times[stage] * 1.3 + 15)
         if _remaining() > est_s:
