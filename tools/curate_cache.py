@@ -10,11 +10,16 @@ every future benchmark's ceiling. In-process hedging cannot re-roll: with
 the persistent cache on, a recompile is a cache hit.
 
 Phases:
+  0. incumbent — if .jax_cache already exists, measure it (warm, fast);
+     the re-rolled candidate must beat it or the cache is left alone, so
+     repeated curation runs are monotone non-regressing.
   1. headline re-roll — each attempt starts from an EMPTY cache dir, runs
      `bench.py` restricted to the headline stage (BENCH_STAGES=headline),
      keeps the best attempt's cache directory.
   2. B=24 re-roll — each attempt copies the winning cache (headline warm)
      and runs BENCH_STAGES=headline,b24; the best B=24 draw's cache wins.
+     (Re-rolling B=24 requires its cache entry to be ABSENT, which is why
+     attempts build on phase-1 dirs, never on the incumbent.)
   3. final full-budget run against the winning cache warms the remaining
      stages (act, train step, fp32 parity) with single draws.
 
@@ -71,9 +76,25 @@ def main():
     ap.add_argument("--attempt-timeout", type=float, default=900.0)
     ap.add_argument("--final-budget", type=float, default=2400.0,
                     help="budget for the final warm-everything run")
+    ap.add_argument("--no-incumbent", action="store_true",
+                    help="ignore an existing .jax_cache instead of "
+                         "requiring the re-roll to beat it")
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="curate_cache_")
+
+    # ---- phase 0: measure the incumbent cache (warm, so fast) --------------
+    incumbent = None  # (headline_fps, b24_fps)
+    if not args.no_incumbent and os.path.isdir(CACHE):
+        d_inc = os.path.join(work, "incumbent")
+        shutil.copytree(CACHE, d_inc)
+        r = run_bench(d_inc, budget_s=3600.0, timeout_s=900.0,
+                      stages="headline,b24")
+        if r and r.get("value"):
+            incumbent = (r["value"],
+                         r.get("extras", {}).get("map_update_fps_b24") or -1.0)
+            print(f"[curate] incumbent cache: {incumbent[0]} f/s headline, "
+                  f"{incumbent[1]} f/s b24", flush=True)
 
     # ---- phase 1: headline re-roll -----------------------------------------
     best = (None, -1.0)  # (dir, fps)
@@ -117,6 +138,18 @@ def main():
         if fps24 >= args.b24_target_fps:
             break
     print(f"[curate] best b24 draw: {best24[1]} f/s")
+
+    # ---- install: only if the challenger beats the incumbent ---------------
+    # Headline is THE driver metric, so it dominates; b24 breaks near-ties.
+    if incumbent is not None:
+        h_new = best[1]
+        if h_new < incumbent[0] * 0.995 or (
+                h_new < incumbent[0] * 1.005 and best24[1] < incumbent[1]):
+            print(f"[curate] challenger ({h_new} f/s) does not beat the "
+                  f"incumbent ({incumbent[0]} f/s); leaving .jax_cache "
+                  "as is", flush=True)
+            shutil.rmtree(work, ignore_errors=True)
+            return
 
     if os.path.isdir(CACHE):
         shutil.rmtree(CACHE)
