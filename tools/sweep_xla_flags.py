@@ -1,12 +1,16 @@
 #!/usr/bin/env python3
-"""Probe whether XLA flags pin the fast update_map schedule.
+"""Probe whether XLA debug options pin the fast update_map schedule.
 
 The compile pool's workers produce schedules varying ~±30% for identical
 HLO (ops/pallas/tuning.py). tuning.py traced one axis of disagreement to
-scoped-VMEM accounting; if a debug-options flag (serialized with the
-compile request) lands the fast regime deterministically, curation stops
-being a lottery. Each combo runs bench.py's headline stage from an EMPTY
-cache dir (a fresh schedule draw) N times and reports the draws.
+scoped-VMEM accounting; if a debug option (serialized with the compile
+request) lands the fast regime deterministically, curation stops being a
+lottery. Each combo runs bench.py's headline stage from an EMPTY cache dir
+(a fresh schedule draw) N times and reports the draws.
+
+Options travel via WS_COMPILER_OPTS -> `.compile(compiler_options=...)`
+(tuning.py): this reaches the REMOTE TPU compiler, whereas the local
+client build fatally rejects TPU-only names in XLA_FLAGS.
 
 Usage: python tools/sweep_xla_flags.py [--draws 2] [--combos ...]
 """
@@ -23,15 +27,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 COMBOS = {
     "none": "",
-    "vmem128m": "--xla_tpu_scoped_vmem_limit_kib=131072",
-    "vmem64m": "--xla_tpu_scoped_vmem_limit_kib=65536",
-    "vmem32m": "--xla_tpu_scoped_vmem_limit_kib=32768",
-    "no_lhs": "--xla_tpu_enable_latency_hiding_scheduler=false",
-    "lhs": "--xla_tpu_enable_latency_hiding_scheduler=true",
+    "vmem128m": "xla_tpu_scoped_vmem_limit_kib=131072",
+    "vmem64m": "xla_tpu_scoped_vmem_limit_kib=65536",
+    "vmem32m": "xla_tpu_scoped_vmem_limit_kib=32768",
+    "no_lhs": "xla_tpu_enable_latency_hiding_scheduler=false",
+    "lhs": "xla_tpu_enable_latency_hiding_scheduler=true",
 }
 
 
-def run_headline(xla_flags: str, timeout_s: float = 600.0):
+def run_headline(opts: str, timeout_s: float = 600.0):
     d = tempfile.mkdtemp(prefix="sweep_cache_")
     env = dict(
         os.environ,
@@ -41,8 +45,8 @@ def run_headline(xla_flags: str, timeout_s: float = 600.0):
         BENCH_HEDGE="1",
         BENCH_STAGES="headline",
     )
-    if xla_flags:
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + xla_flags).strip()
+    if opts:
+        env["WS_COMPILER_OPTS"] = opts
     try:
         p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                            capture_output=True, text=True, env=env,

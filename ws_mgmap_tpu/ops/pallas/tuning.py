@@ -22,7 +22,24 @@ Policy:
 """
 from __future__ import annotations
 
+import os
+
 _SAFE = False
+
+
+def compiler_options() -> dict | None:
+    """Extra XLA debug options for whole-program compiles, from the env.
+
+    ``WS_COMPILER_OPTS="k=v,k=v"`` — passed via ``.compile(compiler_options=...)``,
+    which reaches the REMOTE TPU compiler (this environment's local client
+    fatally rejects unknown names in ``XLA_FLAGS``, so the env-var route is
+    unusable for TPU-only flags). Used by tools/sweep_xla_flags.py to probe
+    schedule-pinning options; empty/unset means compiler defaults.
+    """
+    s = os.environ.get("WS_COMPILER_OPTS", "").strip()
+    if not s:
+        return None
+    return dict(kv.split("=", 1) for kv in s.split(",") if "=" in kv)
 
 
 def safe_mode() -> bool:
@@ -96,13 +113,15 @@ def hedged_compile(fn, args, n: int = 2, time_fn=None):
             # draw (n=1 must leave the jit caches warm for later stages)
             jax.clear_caches()
         try:
-            ex = jax.jit(fn).lower(*args).compile()
+            ex = jax.jit(fn).lower(*args).compile(
+                compiler_options=compiler_options())
         except Exception as e:
             if not _is_kernel_compile_error(e) or _SAFE:
                 raise
             set_safe_mode(True)
             jax.clear_caches()
-            ex = jax.jit(fn).lower(*args).compile()
+            ex = jax.jit(fn).lower(*args).compile(
+                compiler_options=compiler_options())
         if n == 1:
             return ex  # no ranking needed; skip the timing runs too
         dt = min(time_fn(ex) for _ in range(2))
