@@ -120,6 +120,22 @@ def main():
     except Exception as e:  # cache support is best-effort
         _log(f"compilation cache unavailable: {e}")
 
+    # Compiler options travel with the cache: executables compiled under
+    # xla debug options are keyed by them, so a curated cache built with
+    # options only HITS when the same options are passed again. The
+    # curation tool records the winning attempt's options in the cache dir;
+    # load them unless the caller overrides (tuning.compiler_options reads
+    # WS_COMPILER_OPTS).
+    if "WS_COMPILER_OPTS" not in os.environ:
+        try:
+            with open(os.path.join(cache_dir, "compiler_opts.json")) as f:
+                opts = json.load(f)
+            if opts:
+                os.environ["WS_COMPILER_OPTS"] = opts
+                _log(f"loaded compiler opts from cache: {opts}")
+        except Exception:
+            pass
+
     import jax
     import jax.numpy as jnp
     from jax import lax
