@@ -91,12 +91,15 @@ def main():
                     help="ignore an existing .jax_cache instead of "
                          "requiring the re-roll to beat it")
     ap.add_argument("--opts",
-                    default="xla_tpu_scoped_vmem_limit_kib=65536;",
+                    default=";xla_tpu_scoped_vmem_limit_kib=65536",
                     help="semicolon-separated compiler-option strings; "
                          "phase-1 attempts cycle through them (empty "
                          "string = compiler defaults). The scoped-vmem "
                          "64 MiB option measured the fattest right tail "
-                         "of schedule draws (1015 f/s max vs 833 default)")
+                         "of schedule draws (1015 f/s max vs 833 default) "
+                         "on one machine, but also produced a >15 min "
+                         "compile hang on another — try defaults FIRST so "
+                         "attempt 0 cannot burn its whole timeout")
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="curate_cache_")
