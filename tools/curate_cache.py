@@ -171,6 +171,10 @@ def main():
             print(f"[curate] challenger ({h_new} f/s) does not beat the "
                   f"incumbent ({incumbent[0]} f/s); leaving .jax_cache "
                   "as is", flush=True)
+            with open(os.path.join(CACHE, "curated_fps.json"), "w") as f:
+                json.dump({"headline_fps": incumbent[0],
+                           "b24_fps": incumbent[1] if incumbent[1] > 0
+                           else None}, f)
             shutil.rmtree(work, ignore_errors=True)
             return
 
@@ -178,6 +182,13 @@ def main():
         shutil.rmtree(CACHE)
     shutil.copytree(best24[0], CACHE)
     shutil.rmtree(work, ignore_errors=True)
+
+    # Record what the installed cache delivered: bench.py compares its own
+    # measurement against this and re-rolls fresh draws when it falls well
+    # short (cache MISS after a code change -> random fresh schedule).
+    with open(os.path.join(CACHE, "curated_fps.json"), "w") as f:
+        json.dump({"headline_fps": best[1],
+                   "b24_fps": best24[1] if best24[1] > 0 else None}, f)
 
     # ---- phase 3: warm the remaining stages (single draws) -----------------
     t0 = time.time()
