@@ -62,18 +62,14 @@ def splat_pallas_packed(feats: Array, lin_ids: Array, ego_size: int = 100,
         # n_acc=4 is the VMEM ceiling: copies are (cells/2, 2C) fp32 =
         # 2.56 MB at the production shape, the out block is double-buffered
         # across batch grid steps, so 4 copies + dup + input ~ 13.9 MB.
-        # (The unpacked v4 kernel at n_acc=4 needs 25.4 MB inside the full
-        # update_map program and NEVER compiled in production — the scoped-
-        # vmem fallback silently degraded every run to safe mode.)
-        # Default n_acc=2: standalone, 4 copies win (2.68 vs 3.0 ms), but
-        # INSIDE the full update_map program the extra ~5 MB of persistent
-        # scratch squeezes the neighboring fused ops and the whole step
-        # REGRESSES (measured 9.0-9.3 ms/step vs 8.0 across 5 schedule
-        # draws). Packed rows at n_acc=2 keep full-lane RMWs at the same
-        # footprint as the old safe config. WS_SPLAT_NACC overrides for
-        # tuning sweeps.
+        # (The unpacked v4 kernel at n_acc=4 exceeds scoped VMEM inside the
+        # full update_map program at B=24.) Default n_acc=4: measured best
+        # inside the full B=24 update_map program on the current compiler
+        # service (881 f/s vs 813 at n_acc=2); earlier service builds
+        # preferred 2 — WS_SPLAT_NACC overrides for re-tuning sweeps, and
+        # safe mode falls back to 2 for strict-VMEM-accounting builds.
         env = os.environ.get("WS_SPLAT_NACC")
-        n_acc = int(env) if env else 2
+        n_acc = int(env) if env else 4
         if tuning.safe_mode():
             n_acc = min(n_acc, 2)
     b, p, c = feats.shape

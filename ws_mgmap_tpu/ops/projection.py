@@ -177,15 +177,30 @@ def splat_to_ground(
         # [B,cells/2,2C] buffer and the surrounding fusion regresses
         # (measured 9.1-9.9 vs 7.9-8.0 ms/step at B=6). The classic v4
         # kernel at the safe n_acc=2 remains the production default.
-        kern = os.environ.get("WS_SPLAT_KERNEL", "v4")
+        # Kernel/interleaving choice, measured INSIDE the full update_map
+        # program (the standalone winner differs — accumulator VMEM
+        # squeezes the neighboring fusions): small batches compile the
+        # unpacked v4 kernel at n_acc=4 clean and run fastest (948 vs 799
+        # f/s at B=6); at B=24 v4 n_acc=4 exceeds scoped VMEM and the
+        # packed 2-cells-per-row kernel at n_acc=4 wins (881 vs 853 f/s).
+        # WS_SPLAT_KERNEL / WS_SPLAT_NACC override for re-tuning sweeps
+        # after compiler-service updates (tools/sweep_env harness);
+        # consumers wrap compiles in tuning.with_compile_fallback, which
+        # flips safe mode (n_acc=2 everywhere) if a service build rejects
+        # the aggressive configs.
+        kern = os.environ.get("WS_SPLAT_KERNEL") or (
+            "v4" if b <= 8 else "packed")
         if kern == "packed":
             out = splat_pallas_packed(
                 feats.reshape(b, -1, c), skip_ids.reshape(b, -1),
                 ego_size=ego_size)
         else:
+            from ws_mgmap_tpu.ops.pallas import tuning
+            env = os.environ.get("WS_SPLAT_NACC")
+            n_acc = int(env) if env else (2 if tuning.safe_mode() else 4)
             out = splat_pallas(
                 feats.reshape(b, -1, c), skip_ids.reshape(b, -1),
-                ego_size=ego_size, n_acc=2)
+                ego_size=ego_size, n_acc=n_acc)
         return out.astype(feats.dtype)
 
     def one(feat_flat: Array, ids_flat: Array) -> Array:
