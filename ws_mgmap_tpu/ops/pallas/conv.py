@@ -66,13 +66,15 @@ def _vmem_bytes(bh: int, wd: int, ci: int, co: int, itemsize: int,
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB scoped cap
 
-# Measured-fastest row-tile heights on v5e (tools/bench_conv2.py sweeps;
-# PERF.md). Keyed by (H, Cin): e.g. the 64->64 @224^2 decoder conv runs
-# 2.3x faster at bh=32 than at the generic bh=16 even though the static
-# VMEM estimate is pessimistic for it (compiles and runs fine).
+# Measured-fastest row-tile heights on v5e (tools/bench_conv2.py +
+# /tmp/sweep_bh-style sweeps; PERF.md). Keyed by (H, Cin). Re-measured on
+# the 2026-08 compile service: bh=16 wins BOTH 224^2 decoder shapes
+# (192->64: 0.94 vs 1.25 ms at the old bh=8; 64->64: 0.55 vs 0.80 ms at
+# the old bh=32) even though the static VMEM estimate is pessimistic for
+# them (compiles and runs fine; bh>=28 at Cin=192 no longer compiles).
 _BH_TABLE = {
-    (224, 64): 32,
-    (224, 192): 8,
+    (224, 64): 16,
+    (224, 192): 16,
 }
 
 
@@ -94,7 +96,10 @@ def _pick_bh(h: int, wd: int = 0, ci: int = 0, co: int = 0,
     from ws_mgmap_tpu.ops.pallas import tuning
 
     tuned = None if tuning.safe_mode() else _BH_TABLE.get((h, ci))
-    if (tuned and h % tuned == 0 and impl == "im2col"
+    # the table rows were measured in bf16 (the production rollout dtype);
+    # fp32 inputs double the window/patch footprint and bh=16 @ Cin=192
+    # exceeds scoped VMEM — fall through to the guarded generic search
+    if (tuned and h % tuned == 0 and impl == "im2col" and itemsize == 2
             and _tuned_table_applies()):
         return tuned
     for bh in (16, 14, 8, 7, 4, 2, 1):

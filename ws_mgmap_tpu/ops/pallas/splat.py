@@ -37,6 +37,15 @@ Array = jax.Array
 EPS_INVALID = -1e16
 
 
+def _skip_invalid() -> bool:
+    """Predicated-skip mode for invalid pixels (WS_SPLAT_SKIP=1): measured
+    slower than the branch-free trash-row redirect on the 2025-era compile
+    service; re-measure after service updates."""
+    import os
+
+    return os.environ.get("WS_SPLAT_SKIP", "0") == "1"
+
+
 @functools.partial(jax.jit,
                    static_argnames=("ego_size", "chunk", "n_acc"))
 def splat_pallas_packed(feats: Array, lin_ids: Array, ego_size: int = 100,
@@ -256,17 +265,27 @@ def splat_pallas(feats: Array, lin_ids: Array, ego_size: int = 100,
             else:
                 scratch[g - 1][pl.ds(idx, 1), :] = val
 
+        skip = _skip_invalid()
+
         def body(q, _):
             # n_acc independent RMWs on separate refs -> no alias hazard,
             # the loads/stores overlap instead of serializing
             for g in range(n_acc):
-                idx = ids_ref[bi, q * n_acc + g]
-                idx = jnp.where(idx < 0, trash, idx)
+                raw = ids_ref[bi, q * n_acc + g]
+                idx = jnp.where(raw < 0, trash, raw)
                 if cast_in:
                     row = rows[pl.ds(q * n_acc + g, 1), :]
                 else:
                     row = feats_ref[0, pl.ds(q * n_acc + g, 1), :]
-                store(g, idx, jnp.maximum(load(g, idx), row))
+                if skip:
+                    # ~75% of pixels are invalid (height filter + OOB):
+                    # a scalar-predicated skip drops their RMWs entirely
+                    @pl.when(raw >= 0)
+                    def _(g=g, idx=idx, row=row):
+                        store(g, idx, jnp.maximum(load(g, idx), row))
+                else:
+                    # branch-free trash-row redirect
+                    store(g, idx, jnp.maximum(load(g, idx), row))
             return 0
 
         jax.lax.fori_loop(0, groups, body, 0)
