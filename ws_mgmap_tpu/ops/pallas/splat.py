@@ -99,9 +99,12 @@ def splat_pallas_packed(feats: Array, lin_ids: Array, ego_size: int = 100,
     groups = chunk // n_acc
     assert groups * n_acc == chunk, (chunk, n_acc)
 
+    # ids pre-reshaped to [b * n_chunks, 1, chunk]: batch-size-independent
+    # 4 KB SMEM blocks (see the v4 kernel note below)
+    lin_ids = lin_ids.reshape(b * n_chunks, 1, chunk)
     grid = (b, n_chunks)
     in_specs = [
-        pl.BlockSpec((b, chunk), lambda bi, ci: (0, ci),
+        pl.BlockSpec((1, 1, chunk), lambda bi, ci: (bi * n_chunks + ci, 0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, chunk, c), lambda bi, ci: (bi, ci, 0),
                      memory_space=pltpu.VMEM),
@@ -142,7 +145,7 @@ def splat_pallas_packed(feats: Array, lin_ids: Array, ego_size: int = 100,
 
         def body(q, _):
             for g in range(n_acc):
-                idx = ids_ref[bi, q * n_acc + g]
+                idx = ids_ref[0, 0, q * n_acc + g]
                 r = jnp.where(idx < 0, trash, idx >> 1)
                 h0 = jnp.where(idx < 0, 0, (idx & 1) * c)
                 keep = (lane >= h0) & (lane < h0 + c)
@@ -217,14 +220,18 @@ def splat_pallas(feats: Array, lin_ids: Array, ego_size: int = 100,
 
     # single call, grid (batch, chunks): out/acc blocks stay resident in
     # VMEM across a sample's chunks and flush once per sample; the ids
-    # stream through SMEM one chunk (4 KB) at a time so the scalar core
-    # has row addresses ahead of the vector RMWs (the whole [B, P] id
-    # array would blow the 1 MB SMEM as a scalar-prefetch operand)
+    # stream through SMEM one (sample, chunk) block (4 KB) at a time so
+    # the scalar core has row addresses ahead of the vector RMWs. The ids
+    # are pre-reshaped to [b * n_chunks, 1, chunk] so the block is
+    # batch-size-independent — the old (b, chunk) layout scaled SMEM with
+    # B, pushed the B=24 compile over the scoped limit, and cost ~23%
+    # step time even where it compiled (block dims must be whole or
+    # (8,128)-divisible, hence the singleton middle dim).
+    lin_ids = lin_ids.reshape(b * n_chunks, 1, chunk)
     grid = (b, n_chunks)
     in_specs = [
-        # SMEM blocks need the sublane dim whole: ship the chunk's ids for
-        # ALL samples (b * chunk * 4 B ~ 24 KB), index the live row by bi
-        pl.BlockSpec((b, chunk), lambda bi, ci: (0, ci),
+        pl.BlockSpec((1, 1, chunk),
+                     lambda bi, ci: (bi * n_chunks + ci, 0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, chunk, c), lambda bi, ci: (bi, ci, 0),
                      memory_space=pltpu.VMEM),
@@ -271,7 +278,7 @@ def splat_pallas(feats: Array, lin_ids: Array, ego_size: int = 100,
             # n_acc independent RMWs on separate refs -> no alias hazard,
             # the loads/stores overlap instead of serializing
             for g in range(n_acc):
-                raw = ids_ref[bi, q * n_acc + g]
+                raw = ids_ref[0, 0, q * n_acc + g]
                 idx = jnp.where(raw < 0, trash, raw)
                 if cast_in:
                     row = rows[pl.ds(q * n_acc + g, 1), :]
