@@ -113,15 +113,27 @@ def splat_pallas_packed(feats: Array, lin_ids: Array, ego_size: int = 100,
                              lambda bi, ci: (bi, 0, 0),
                              memory_space=pltpu.VMEM)
 
-    def kernel(ids_ref, feats_ref, out_ref, *scratch):
-        bi = pl.program_id(0)
+    # Per-pixel parity (which lane half the pixel owns), computed on the
+    # XLA side as a (chunk, 1) fp32 column so the kernel can pre-mask the
+    # duplicated rows in ONE vector pass over the chunk — the serialized
+    # per-pixel RMW loop then matches the unpacked v4 kernel op-for-op
+    # (the old per-RMW iota/compare/select cost ~75% extra step time).
+    parity = (lin_ids & 1).astype(jnp.float32).reshape(
+        b * n_chunks, chunk, 1)
+    in_specs.append(
+        pl.BlockSpec((1, chunk, 1), lambda bi, ci: (bi * n_chunks + ci, 0, 0),
+                     memory_space=pltpu.VMEM))
+
+    def kernel(ids_ref, feats_ref, par_ref, out_ref, *scratch):
         ci = pl.program_id(1)
         *scratch, dup_ref = scratch
-        # duplicate the chunk's rows across both lane halves (fp32), one
-        # vector pass; the RMW below masks the half the pixel doesn't own
+        # duplicate the chunk's rows across both lane halves (fp32), with
+        # the non-owned half pre-masked to EPS so it never wins a max;
+        # invalid pixels go to the trash row, which is cropped anyway
         rows32 = feats_ref[0].astype(acc)
-        dup_ref[:, :c] = rows32
-        dup_ref[:, c:] = rows32
+        par = par_ref[0]  # [chunk, 1], 0.0 = owns lanes [0,c), 1.0 = [c,2c)
+        dup_ref[:, :c] = jnp.where(par == 0.0, rows32, EPS_INVALID)
+        dup_ref[:, c:] = jnp.where(par == 1.0, rows32, EPS_INVALID)
 
         @pl.when(ci == 0)
         def _():
@@ -141,17 +153,12 @@ def splat_pallas_packed(feats: Array, lin_ids: Array, ego_size: int = 100,
             else:
                 scratch[g - 1][pl.ds(idx, 1), :] = val
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * c), 1)
-
         def body(q, _):
             for g in range(n_acc):
                 idx = ids_ref[0, 0, q * n_acc + g]
                 r = jnp.where(idx < 0, trash, idx >> 1)
-                h0 = jnp.where(idx < 0, 0, (idx & 1) * c)
-                keep = (lane >= h0) & (lane < h0 + c)
-                val = jnp.where(keep, dup_ref[pl.ds(q * n_acc + g, 1), :],
-                                EPS_INVALID)
-                store(g, r, jnp.maximum(load(g, r), val))
+                row = dup_ref[pl.ds(q * n_acc + g, 1), :]
+                store(g, r, jnp.maximum(load(g, r), row))
             return 0
 
         jax.lax.fori_loop(0, groups, body, 0)
@@ -175,7 +182,7 @@ def splat_pallas_packed(feats: Array, lin_ids: Array, ego_size: int = 100,
         out_shape=jax.ShapeDtypeStruct((b, rows_pad, 2 * c), acc),
         scratch_shapes=scratch_shapes,
         interpret=jax.default_backend() == "cpu",
-    )(lin_ids.astype(jnp.int32), feats)
+    )(lin_ids.astype(jnp.int32), feats, parity)
 
     # packed row r = [cell 2r | cell 2r+1]: a row-major reshape unpacks
     out = out[:, :rows, :].reshape(b, cells, c)
