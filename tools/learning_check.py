@@ -103,6 +103,9 @@ def main():
                     help="after stage-1 teacher forcing, run stage-2 DAgger "
                          "(beta=0.5^it, `dagger_trainer.py:291-299`) and "
                          "require the val metrics to improve")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="independent FakeSim episode draw (additive "
+                         "DATASET.FAKE_SEED_OFFSET); 0 = the canonical set")
     args = ap.parse_args()
 
     if args.platform:
@@ -113,6 +116,10 @@ def main():
 
     tmp = tempfile.mkdtemp(prefix="learncheck_")
     cfg = tiny_config(tmp, args.episodes, args.epochs)
+    if args.seed:
+        cfg.defrost()
+        cfg.TASK_CONFIG.DATASET.FAKE_SEED_OFFSET = args.seed
+        cfg.freeze()
 
     # untrained baseline eval
     t0 = DaggerTrainer(cfg, env_workers=False)

@@ -154,6 +154,11 @@ def _task_config() -> CN:
     # Must stay above TASK.SUCCESS_DISTANCE so nothing starts pre-solved.
     t.DATASET.FAKE_MIN_GEODESIC = 4.0
     t.DATASET.FAKE_MAX_GEODESIC = 8.0
+    # Additive episode-seed offset: an independent draw of FakeSim
+    # episodes for the same splits (tools/learning_check.py --seed), so
+    # learning claims can be reproduced on a fresh episode set instead of
+    # just re-run deterministically
+    t.DATASET.FAKE_SEED_OFFSET = 0
     return t
 
 

@@ -59,7 +59,8 @@ def load_split(config, split: str):
     # set for the same split
     ds = make_fake_dataset(
         num_episodes=n, scenes=scenes,
-        seed=zlib.crc32(split.encode()) % 1000,
+        seed=(zlib.crc32(split.encode())
+              + config.TASK_CONFIG.DATASET.FAKE_SEED_OFFSET) % 1000,
         min_geodesic=config.TASK_CONFIG.DATASET.FAKE_MIN_GEODESIC,
         max_geodesic=config.TASK_CONFIG.DATASET.FAKE_MAX_GEODESIC)
     return ds, fake_gt_locations(ds)
