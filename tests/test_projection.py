@@ -122,6 +122,27 @@ def test_pallas_splat_backend_matches_xla():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_pallas_splat_v4sub_dispatch_matches_xla():
+    """B>8 dispatches to the sub-batched v4 kernel (lax.map over groups of
+    <=6, `projection.py::_subgroup_size`); it must equal segment_max."""
+    feats = RNG.randn(12, 21, 21, 5).astype(np.float32)
+    depth = (RNG.rand(12, 24, 24, 1) * 8).astype(np.float32)
+    x_gp, y_gp, valid = projection.spatial_locs(jnp.asarray(depth), EGO, SCALE)
+    a = projection.splat_to_ground(jnp.asarray(feats), x_gp, y_gp, valid, EGO,
+                                   backend="xla")
+    b = projection.splat_to_ground(jnp.asarray(feats), x_gp, y_gp, valid, EGO,
+                                   backend="pallas")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_subgroup_size():
+    assert projection._subgroup_size(24) == 6
+    assert projection._subgroup_size(12) == 6
+    assert projection._subgroup_size(16) == 4
+    assert projection._subgroup_size(10) == 5
+    assert projection._subgroup_size(7) == 0  # prime >6 -> packed kernel
+
+
 def test_rotate_in_splat_zero_angle_bitwise():
     """heading=0 must leave the coordinate math bitwise unchanged."""
     feats = RNG.randn(2, 21, 21, 4).astype(np.float32)

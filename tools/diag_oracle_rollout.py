@@ -31,6 +31,12 @@ def main():
                     help="prog: eval-style stop when oracle progress "
                     "exceeds --prog-th; geodesic: collection-style stop "
                     "(prog=-1, env stops at geodesic<0.5)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="independent FakeSim episode draw "
+                    "(DATASET.FAKE_SEED_OFFSET), as learning_check --seed")
+    ap.add_argument("--split", default="val_seen",
+                    help="FakeSim split to roll out (e.g. val_unseen = the "
+                    "learning-check judge split)")
     args = ap.parse_args()
 
     sys.argv = [sys.argv[0]]  # tiny_config import side effects
@@ -41,12 +47,14 @@ def main():
     cfg.defrost()
     cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = args.max_steps
     cfg.ep_max_len = args.max_steps
+    if args.seed:
+        cfg.TASK_CONFIG.DATASET.FAKE_SEED_OFFSET = args.seed
     cfg.freeze()
 
     from ws_mgmap_tpu.env.vector_env import construct_envs
     from ws_mgmap_tpu.train.trainer import load_split
 
-    dataset, gt = load_split(cfg, "val_seen")
+    dataset, gt = load_split(cfg, args.split)
     envs = construct_envs(cfg, dataset, gt, auto_reset_done=False,
                           workers=False)
     n0 = envs.num_envs

@@ -111,6 +111,20 @@ def _subsample_indices(src: int, dst: int) -> Array:
     return (jnp.arange(dst, dtype=jnp.float32) * k).astype(jnp.int32)
 
 
+def _subgroup_size(b: int) -> int:
+    """Largest group size <=6 that evenly divides b (0 if none >=2).
+
+    Sub-batching lets the unpacked v4 splat kernel serve B>8: each
+    lax.map call compiles at the small-batch shape where Mosaic doesn't
+    lane-pad the 64-lane accumulators (B=24 groups of 8 already exceed
+    scoped VMEM on the 2026-08 compile service, so the cap is 6).
+    """
+    for g in (6, 5, 4, 3, 2):
+        if b % g == 0:
+            return g
+    return 0
+
+
 def splat_to_ground(
     feats: Array,
     x_gp: Array,
@@ -170,30 +184,43 @@ def splat_to_ground(
         skip_ids = jnp.where(invalid, -1, y_gp * ego_size + x_gp)
         # bf16 feats go in natively — the kernel casts each chunk block to
         # fp32 in VMEM, skipping a full-feature-map fp32 round-trip in HBM.
-        # Kernel choice (WS_SPLAT_KERNEL overrides for sweeps): the packed
-        # 2-cells-per-row variant wins STANDALONE at n_acc=4 and is the
-        # only 4-way-interleaved config that fits scoped VMEM, but inside
-        # the full update_map program its unpack step relayouts the whole
-        # [B,cells/2,2C] buffer and the surrounding fusion regresses
-        # (measured 9.1-9.9 vs 7.9-8.0 ms/step at B=6). The classic v4
-        # kernel at the safe n_acc=2 remains the production default.
-        # Kernel/interleaving choice, measured INSIDE the full update_map
-        # program (the standalone winner differs — accumulator VMEM
-        # squeezes the neighboring fusions): small batches compile the
-        # unpacked v4 kernel at n_acc=4 clean and run fastest (948 vs 799
-        # f/s at B=6); at B=24 v4 n_acc=4 exceeds scoped VMEM and the
-        # packed 2-cells-per-row kernel at n_acc=4 wins (881 vs 853 f/s).
+        # Kernel choice, measured INSIDE the full update_map program on the
+        # 2026-08 compile service (the standalone winner can differ — the
+        # accumulator VMEM squeezes the neighboring fusions):
+        #   b<=8  -> unpacked v4 at n_acc=4: compiles clean with no lane
+        #            padding and runs fastest (948 vs 799 f/s at B=6).
+        #   b>8   -> v4 accumulators lane-pad 64->128 past scoped VMEM, but
+        #            the SAME b<=8 kernel lax.map'ed over sub-batch groups
+        #            of <=6 keeps the no-padding compilation ("v4sub"):
+        #            standalone B=24 splat 6.04 vs packed's 6.58 ms/step,
+        #            full update_map 21.2 vs 22.5-23.7 ms/step = 1131 vs
+        #            1014-1067 f/s (tools/bench_splat_b24.py,
+        #            tools/bench_breakdown.py; groups of 8/12 still exceed
+        #            VMEM). The packed 2-cells-per-row kernel serves batch
+        #            sizes with no divisor in [2,6].
         # WS_SPLAT_KERNEL / WS_SPLAT_NACC override for re-tuning sweeps
-        # after compiler-service updates (tools/sweep_env harness);
-        # consumers wrap compiles in tuning.with_compile_fallback, which
-        # flips safe mode (n_acc=2 everywhere) if a service build rejects
-        # the aggressive configs.
+        # after compiler-service updates; consumers wrap compiles in
+        # tuning.with_compile_fallback, which flips safe mode (n_acc=2
+        # everywhere) if a service build rejects the aggressive configs.
         kern = os.environ.get("WS_SPLAT_KERNEL") or (
-            "v4" if b <= 8 else "packed")
+            "v4" if b <= 8 else
+            ("v4sub" if _subgroup_size(b) else "packed"))
         if kern == "packed":
             out = splat_pallas_packed(
                 feats.reshape(b, -1, c), skip_ids.reshape(b, -1),
                 ego_size=ego_size)
+        elif kern == "v4sub":
+            from ws_mgmap_tpu.ops.pallas import tuning
+            env = os.environ.get("WS_SPLAT_NACC")
+            n_acc = int(env) if env else (2 if tuning.safe_mode() else 4)
+            g = _subgroup_size(b)
+            fg = feats.reshape(b // g, g, -1, c)
+            ig = skip_ids.reshape(b // g, g, -1)
+            out = jax.lax.map(
+                lambda xs: splat_pallas(
+                    xs[0], xs[1], ego_size=ego_size, n_acc=n_acc),
+                (fg, ig))
+            out = out.reshape(b, ego_size, ego_size, c)
         else:
             from ws_mgmap_tpu.ops.pallas import tuning
             env = os.environ.get("WS_SPLAT_NACC")
