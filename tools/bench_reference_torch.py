@@ -53,6 +53,8 @@ R_CONV_V100 = 8e12     # achieved fp32 conv FLOP/s (see module docstring)
 BW_V100 = 700e9        # achieved HBM2 bytes/s
 LAUNCH_OVERHEAD_S = 0.4e-3  # ~40 eager CUDA launches x ~10us in the mapping chain
 BATCH = 6              # reference stage-1 NUM_PROCESSES (README.md:80)
+N_FRAMES = 384         # train-step frames: BATCH_SIZE 8 eps x ~48 subsampled
+                       # steps (`dagger_trainer.py:82-83` + spin/stride)
 
 
 def timed(fn, iters=3, warmup=1):
@@ -72,12 +74,30 @@ def conv_flops_of(module, *args):
     hooks = []
 
     def hook(mod, inp, out):
+        if isinstance(out, tuple):
+            out = out[0]
         if isinstance(mod, torch.nn.Conv2d):
             oe = out.numel()
             fan = mod.in_channels // mod.groups * mod.kernel_size[0] * mod.kernel_size[1]
             flops[0] += 2 * oe * fan
+        elif isinstance(mod, torch.nn.ConvTranspose2d):
+            oe = out.numel()
+            fan = mod.in_channels // mod.groups * mod.kernel_size[0] * mod.kernel_size[1]
+            flops[0] += 2 * oe * fan
+        elif isinstance(mod, torch.nn.Conv1d):
+            flops[0] += 2 * out.numel() * (
+                mod.in_channels // mod.groups * mod.kernel_size[0])
         elif isinstance(mod, torch.nn.Linear):
             flops[0] += 2 * out.numel() * mod.in_features
+        elif isinstance(mod, (torch.nn.GRU, torch.nn.LSTM)):
+            # gates x (in+h) x h MACs per processed (timestep, batch) cell
+            gates = 3 if isinstance(mod, torch.nn.GRU) else 4
+            dirs = 2 if mod.bidirectional else 1
+            data = out.data if isinstance(
+                out, torch.nn.utils.rnn.PackedSequence) else out
+            cells = data.numel() // (mod.hidden_size * dirs)
+            flops[0] += (2 * gates * cells * dirs
+                         * mod.hidden_size * (mod.input_size + mod.hidden_size))
 
     for m in module.modules():
         hooks.append(m.register_forward_hook(hook))
@@ -166,8 +186,71 @@ def main():
     t_unet_cpu_pred = f_unet_1 / r_cpu_conv  # tautological per-frame, sanity only
     t_map_cpu_pred = bytes_map / bw_cpu
 
+    # ---- train step (`dagger_trainer.py:505-541`): teacher-forcing update --
+    # The reference trains on CACHED features (rgb [512,7,7] / depth
+    # [128,4,4] / ego map [64,100,100]) flattened to one [T*N] forward, so
+    # the per-frame compute is MGMapNetCached + heads; backward ~= 2x
+    # forward (standard conv bwd: grad-input + grad-weight GEMMs); Adam
+    # reads/writes weights+grads+2 moments.
+    from tests.torch_mirrors import TorchMGMapNetCached
+
+    net = TorchMGMapNetCached(vocab=2504)
+    n_tok = 55  # R2R instruction average (vocab stats, `config/default.py:83`)
+    instr1 = torch.from_numpy(
+        np.pad(rng.randint(1, 2504, (1, n_tok)), ((0, 0), (0, 200 - n_tok)))
+    ).long()
+    f_train_frame = conv_flops_of(
+        net, instr1,
+        torch.from_numpy(rng.randn(1, 512, 7, 7).astype(np.float32)),
+        torch.from_numpy(rng.randn(1, 128, 4, 4).astype(np.float32)),
+        torch.from_numpy(rng.rand(1, 64, 100, 100).astype(np.float32)),
+        torch.zeros(2, 1, 512), torch.ones(1, 1))
+
+    n_params = sum(p.numel() for p in net.parameters())
+    # per-frame streamed bytes beyond the convs: fp16 map batch read +
+    # fp32 upcast (`common_trainer.py:514-532` storage dtypes), the two
+    # aux-loss target maps (gt_path fp16 100^2, gt sem map int64 100^2 ->
+    # CE at 48^2), and ~3 elementwise passes over the decoder activations
+    act_stream = (tbytes(1, 64, 100, 100) // 2  # fp16 ego map read
+                  + tbytes(1, 64, 100, 100)     # fp32 upcast write
+                  + tbytes(1, 100, 100) * 3     # gt_path + sem targets
+                  + 3 * (tbytes(1, 64, 96, 96) * 2 + tbytes(1, 128, 48, 48)))
+    f_train_step = 3 * f_train_frame * N_FRAMES  # fwd + ~2x bwd
+    bytes_train_step = act_stream * N_FRAMES * 3 + 7 * 4 * n_params  # +Adam
+    t_train_v100 = max(f_train_step / R_CONV_V100,
+                       bytes_train_step / BW_V100) + 3 * LAUNCH_OVERHEAD_S
+    train_fps_v100 = N_FRAMES / t_train_v100
+
+    # CPU cross-check: fwd+bwd on a few frames, scaled
+    n_cpu = 4
+    batch_cpu = (
+        instr1.repeat(n_cpu, 1),
+        torch.from_numpy(rng.randn(n_cpu, 512, 7, 7).astype(np.float32)),
+        torch.from_numpy(rng.randn(n_cpu, 128, 4, 4).astype(np.float32)),
+        torch.from_numpy(rng.rand(n_cpu, 64, 100, 100).astype(np.float32)),
+        torch.zeros(2, n_cpu, 512), torch.ones(n_cpu, 1))
+
+    def train_step_cpu():
+        feats, _, pred_sem, _ = net(*batch_cpu)
+        loss = feats.square().mean() + pred_sem.square().mean()
+        net.zero_grad()
+        loss.backward()
+
+    t_train_cpu = timed(train_step_cpu, iters=2)
+
     out = {
         "derived_v100_map_update_fps": round(fps_v100, 1),
+        "derived_v100_train_fps": round(train_fps_v100, 1),
+        "train_frames": N_FRAMES,
+        "train_model": {
+            "flops_per_frame_fwd": f_train_frame,
+            "params": n_params,
+            "bytes_per_step": bytes_train_step,
+            "t_train_v100_ms": round(t_train_v100 * 1e3, 3),
+            "t_train_cpu_ms_measured_4f": round(t_train_cpu * 1e3, 1),
+            "cpu_gflops_achieved_fwd_bwd": round(
+                3 * f_train_frame * n_cpu / t_train_cpu / 1e9, 1),
+        },
         "batch": BATCH,
         "model": {
             "unet_conv_flops_per_frame": f_unet_1,
