@@ -69,9 +69,21 @@ def collect_dataset(
     dones = [False] * n
     prev_actions = np.zeros((n, 2), np.float32)
     cache = {"rgb": [None] * n, "depth": [None] * n, "ego": [None] * n}
-    ep_ids_collected: Set[str] = set()
+    # Unique-episode (beta=1) dedup. The reference reads
+    # `envs.current_episodes()` AFTER habitat's auto-reset, so the id it
+    # logs when episode A's record flushes is successor B's
+    # (`dagger_trainer.py:361-362,400-406`) — functionally exactly-once,
+    # but the logged/stored id is off by one episode. We instead pin each
+    # slot's episode id at episode START and match records to THAT id at
+    # flush; `ep_ids_started` keeps the reference's early-pause behavior
+    # (stop a slot as soon as its iterator wraps to an episode any slot
+    # already started).
+    ep_ids_collected: Set[str] = set()  # flushed to the store + logged
+    ep_ids_started: Set[str] = set()    # rollout begun (reference set)
+    slot_ep_ids: List[Optional[str]] = [None] * n
     if ensure_unique:
-        ep_ids_collected |= {e.episode_id for e in envs.current_episodes()}
+        slot_ep_ids = [e.episode_id for e in envs.current_episodes()]
+        ep_ids_started |= set(slot_ep_ids)
 
     count_step = 0
     collected = 0
@@ -93,22 +105,31 @@ def collect_dataset(
         # flush finished episodes (`dagger_trainer.py:363-409`)
         for i in range(envs.num_envs):
             if dones[i]:
-                rec = episode_to_record(
+                eid = slot_ep_ids[i] if ensure_unique else None
+                dup = ensure_unique and eid in ep_ids_collected
+                rec = None if dup else episode_to_record(
                     episodes[i], spin_steps=24, step_num=config.step_num,
-                    min_len=25, max_len=config.ep_max_len)
+                    min_len=25, max_len=config.ep_max_len, ep_id=eid)
                 if rec is not None:
                     pending_records.append(rec)
                     collected += 1
                     if ensure_unique:
-                        eid = current_episodes[i].episode_id
-                        if eid in ep_ids_collected:
-                            envs_to_pause.append(i)
-                        else:
-                            ep_ids_collected.add(eid)
-                            # dedup log (`dagger_trainer.py:400-406`)
-                            with open(os.path.join(
-                                    store_dir, "collected_ep.txt"), "a") as fp:
-                                fp.write(f"{eid}\n")
+                        ep_ids_collected.add(eid)
+                        # dedup log (`dagger_trainer.py:400-406`) — written
+                        # with the FINISHED episode's id, not the auto-reset
+                        # successor's
+                        with open(os.path.join(
+                                store_dir, "collected_ep.txt"), "a") as fp:
+                            fp.write(f"{eid}\n")
+                if ensure_unique:
+                    # env already auto-reset: adopt the successor episode,
+                    # pausing the slot if any slot already started it
+                    new_eid = current_episodes[i].episode_id
+                    if new_eid in ep_ids_started:
+                        envs_to_pause.append(i)
+                    else:
+                        ep_ids_started.add(new_eid)
+                        slot_ep_ids[i] = new_eid
                 episodes[i] = []
                 step_counts[i] = 0
                 dones[i] = False
@@ -129,6 +150,7 @@ def collect_dataset(
                 episodes.pop(i)
                 step_counts.pop(i)
                 dones.pop(i)
+                slot_ep_ids.pop(i)
             if not keep:
                 break  # every env exhausted its unique episodes
             engine.keep(keep)

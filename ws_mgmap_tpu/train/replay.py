@@ -50,11 +50,14 @@ def episode_to_record(
     step_num: int = 3,
     min_len: int = 25,
     max_len: int = 200,
+    ep_id: Optional[str] = None,
 ) -> Optional[bytes]:
     """(obs, prev_action, oracle_waypoint) per sim step -> packed record.
 
     Returns None when the episode fails the length filter
-    (`dagger_trainer.py:365-369`).
+    (`dagger_trainer.py:365-369`). `ep_id` (when collecting with unique-
+    episode dedup) is stored in the record like the reference's
+    `traj_obs['ep_id']` (`dagger_trainer.py:380-381`).
     """
     if len(steps) > max_len or len(steps) < min_len:
         return None
@@ -69,6 +72,8 @@ def episode_to_record(
         "prev_actions": np.stack([s[1] for s in sub]).astype(np.float32),
         "oracle_actions": np.stack([s[2] for s in sub]).astype(np.float32),
     }
+    if ep_id is not None:
+        record["ep_id"] = str(ep_id)
     return pack_record(record)
 
 
