@@ -12,13 +12,14 @@ without the policy heads.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, PartitionSpec
 
-from ws_mgmap_tpu.models.policy import BasePolicy
+from ws_mgmap_tpu.models.policy import BasePolicy, PolicyOutputs
 from ws_mgmap_tpu.ops.mapping import init_global_map
 from ws_mgmap_tpu.ops.pallas.tuning import with_compile_fallback
 
@@ -27,11 +28,21 @@ class RolloutEngine:
     """compute_dtype: None = fp32 (bit-parity with the reference's eval);
     jnp.bfloat16 = reduced-precision rollout mode for the frozen trunks —
     collection/eval only, parity-exempt, ~1.5-2x step throughput on TPU
-    (the reference always rolls out fp32, `common_trainer.py:289`)."""
+    (the reference always rolls out fp32, `common_trainer.py:289`).
+
+    mesh: an optional dp Mesh (parallel.mesh.make_mesh). When it has >1
+    ``dp`` devices, act/update_map run under ``shard_map`` with the env
+    batch (obs, hidden, global map, masks) sharded over dp — the TPU
+    equivalent of the reference's one-sim-pool-per-GPU collection
+    parallelism (`env_utils.py:53-66`): each chip of a slice runs the full
+    perception/mapping step on its slice of envs, no collectives needed.
+    Batch sizes not divisible by the dp extent fall back to the largest
+    dividing prefix of the mesh (and to single-device at dp=1), so pausing
+    envs mid-eval stays correct."""
 
     def __init__(self, policy: BasePolicy, variables: Dict[str, Any],
                  num_envs: int, instruction_len: int = 200,
-                 compute_dtype=None):
+                 compute_dtype=None, mesh: Optional[Mesh] = None):
         self.policy = policy
         self.cfg = policy.cfg
         self.dtype = compute_dtype or jnp.float32
@@ -43,9 +54,13 @@ class RolloutEngine:
                 variables)
         self.variables = variables
         self.instruction_len = instruction_len
+        self.mesh = (mesh if mesh is not None
+                     and dict(zip(mesh.axis_names, mesh.devices.shape)
+                              ).get("dp", 1) > 1
+                     and jax.process_count() == 1 else None)
+        self._shard_cache: Dict[Any, Any] = {}
 
-        @functools.partial(jax.jit, donate_argnums=(3,))
-        def _act(variables, obs, hidden, global_map, masks):
+        def _act_body(variables, obs, hidden, global_map, masks):
             out = policy.apply(
                 variables, obs, hidden, masks, global_map, True,
                 method=BasePolicy.act)
@@ -61,8 +76,7 @@ class RolloutEngine:
                     else out.depth_features.astype(jnp.float32))
             return out
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def _update_map(variables, obs, global_map, masks):
+        def _update_map_body(variables, obs, global_map, masks):
             ego_map, new_global = policy.apply(
                 variables, obs, masks, global_map,
                 method=BasePolicy.update_map)
@@ -75,10 +89,78 @@ class RolloutEngine:
             return policy.apply(variables, tokens,
                                 method=BasePolicy.encode_text)
 
-        self._act = _act
-        self._update_map = _update_map
+        self._act_body = _act_body
+        self._update_map_body = _update_map_body
+        self._act = jax.jit(_act_body, donate_argnums=(3,))
+        self._update_map = jax.jit(_update_map_body, donate_argnums=(2,))
         self._encode_text = _encode_text
         self.reset_state(num_envs)
+
+    # -- dp sharding ---------------------------------------------------------
+    def _dp_for(self, batch: int) -> int:
+        if self.mesh is None:
+            return 1
+        from ws_mgmap_tpu.parallel.mesh import best_dp
+        return best_dp(batch, dict(zip(self.mesh.axis_names,
+                                       self.mesh.devices.shape))["dp"])
+
+    def _submesh(self, dp: int) -> Mesh:
+        key = ("mesh", dp)
+        if key not in self._shard_cache:
+            devs = self.mesh.devices.reshape(-1)[:dp]
+            self._shard_cache[key] = Mesh(
+                np.asarray(devs).reshape(dp), ("dp",))
+        return self._shard_cache[key]
+
+    def _place_state(self, dp: int) -> None:
+        """Re-place carried state (global map, hidden) onto the active
+        submesh: after keep() shrinks the batch, state committed to the
+        previous dp's devices would be rejected by the smaller shard_map."""
+        if dp <= 1:
+            return
+        from jax.sharding import NamedSharding
+        sub = self._submesh(dp)
+        gm_sh = NamedSharding(sub, PartitionSpec("dp"))
+        hid_sh = NamedSharding(sub, PartitionSpec(None, "dp"))
+        if getattr(self.global_map, "sharding", None) != gm_sh:
+            self.global_map = jax.device_put(self.global_map, gm_sh)
+        if getattr(self.hidden, "sharding", None) != hid_sh:
+            self.hidden = jax.device_put(self.hidden, hid_sh)
+
+    def _sharded_act(self, example_args):
+        """shard_map'd act for the current batch size (cached per dp)."""
+        b = example_args[1]["rgb"].shape[0]
+        dp = self._dp_for(b)
+        if dp <= 1:
+            return self._act
+        key = ("act", dp)
+        if key not in self._shard_cache:
+            P = PartitionSpec
+            out_shapes = jax.eval_shape(self._act_body, *example_args)
+            out_specs = PolicyOutputs(**{
+                f: (None if getattr(out_shapes, f) is None
+                    else (P(None, "dp") if f == "hidden" else P("dp")))
+                for f in PolicyOutputs._fields})
+            fn = jax.shard_map(
+                self._act_body, mesh=self._submesh(dp),
+                in_specs=(P(), P("dp"), P(None, "dp"), P("dp"), P("dp")),
+                out_specs=out_specs, check_vma=False)
+            self._shard_cache[key] = jax.jit(fn, donate_argnums=(3,))
+        return self._shard_cache[key]
+
+    def _sharded_update_map(self, batch: int):
+        dp = self._dp_for(batch)
+        if dp <= 1:
+            return self._update_map
+        key = ("update_map", dp)
+        if key not in self._shard_cache:
+            P = PartitionSpec
+            fn = jax.shard_map(
+                self._update_map_body, mesh=self._submesh(dp),
+                in_specs=(P(), P("dp"), P("dp"), P("dp")),
+                out_specs=(P("dp"), P("dp")), check_vma=False)
+            self._shard_cache[key] = jax.jit(fn, donate_argnums=(2,))
+        return self._shard_cache[key]
 
     # -- state ---------------------------------------------------------------
     def reset_state(self, num_envs: int) -> None:
@@ -155,12 +237,13 @@ class RolloutEngine:
 
     def act(self, obs_batch: Dict[str, jnp.ndarray], masks: np.ndarray,
             deterministic: bool = True):
+        self._place_state(self._dp_for(obs_batch["rgb"].shape[0]))
+        args = (self.variables, self._with_text(obs_batch), self.hidden,
+                self.global_map,
+                jnp.asarray(masks, np.float32).astype(self.dtype))
         # compile fallback: aggressive kernel params first, conservative on
         # a pool worker that rejects their VMEM footprint (tuning.py)
-        out = with_compile_fallback(
-            self._act, self.variables, self._with_text(obs_batch),
-            self.hidden, self.global_map,
-            jnp.asarray(masks, np.float32).astype(self.dtype))
+        out = with_compile_fallback(self._sharded_act(args), *args)
         self.hidden = out.hidden
         self.global_map = out.global_map
         self.prog = np.asarray(out.prog, np.float32)
@@ -168,7 +251,10 @@ class RolloutEngine:
 
     def update_map(self, obs_batch: Dict[str, jnp.ndarray],
                    masks: np.ndarray):
+        b = obs_batch["rgb"].shape[0]
+        self._place_state(self._dp_for(b))
         ego_map, self.global_map = with_compile_fallback(
-            self._update_map, self.variables, obs_batch, self.global_map,
+            self._sharded_update_map(b), self.variables, obs_batch,
+            self.global_map,
             jnp.asarray(masks, np.float32).astype(self.dtype))
         return ego_map
