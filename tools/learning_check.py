@@ -106,7 +106,41 @@ def main():
     ap.add_argument("--seed", type=int, default=0,
                     help="independent FakeSim episode draw (additive "
                          "DATASET.FAKE_SEED_OFFSET); 0 = the canonical set")
+    ap.add_argument("--log", default=None,
+                    help="tee all output to this file (default "
+                         "logs/learncheck_seed<seed>_<mode>[_ep<N>].log); "
+                         "'' disables")
     args = ap.parse_args()
+
+    # Tee stdout+stderr to a committed log so the run's full record —
+    # including the final JSON summary and PASS/FAIL line — survives as a
+    # repo artifact (trainer prints to stdout; tracebacks go to stderr).
+    if args.log is None:
+        mode = "twostage" if args.two_stage else "stage1"
+        ep_tag = "" if args.episodes == 48 else f"_ep{args.episodes}"
+        args.log = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "logs", f"learncheck_seed{args.seed}_{mode}{ep_tag}.log")
+    if args.log:
+        os.makedirs(os.path.dirname(args.log), exist_ok=True)
+        log_f = open(args.log, "w", buffering=1)
+
+        class _Tee:
+            def __init__(self, stream):
+                self._s = stream
+
+            def write(self, data):
+                self._s.write(data)
+                log_f.write(data)
+                return len(data)
+
+            def flush(self):
+                self._s.flush()
+                log_f.flush()
+
+        sys.stdout = _Tee(sys.stdout)
+        sys.stderr = _Tee(sys.stderr)
+        print(f"[learning_check] logging to {args.log}")
 
     if args.platform:
         import jax
