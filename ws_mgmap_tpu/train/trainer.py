@@ -86,6 +86,11 @@ class DaggerTrainer:
         # BATCH_SIZE is per-rank (like the reference's per-GPU batch,
         # `CMA_AUG.yaml:18`); the dp mesh spans the global episode batch
         self.mesh = make_mesh(dp=best_dp(config.DAGGER.BATCH_SIZE * world_size))
+        # rollout (collection/eval) parallelism spans ALL local chips — the
+        # TPU equivalent of the reference's per-GPU sim pools
+        # (`env_utils.py:53-66`); RolloutEngine shards the env batch over it
+        # and falls back per-batch when the size stops dividing
+        self.rollout_mesh = make_mesh()
         self.writer = None
 
     # -- setup ---------------------------------------------------------------
@@ -224,7 +229,8 @@ class DaggerTrainer:
                     self.policy,
                     {"params": jax.device_get(state.params),
                      "batch_stats": jax.device_get(state.batch_stats)},
-                    cfg.NUM_PROCESSES, compute_dtype=self.rollout_dtype)
+                    cfg.NUM_PROCESSES, compute_dtype=self.rollout_dtype,
+                               mesh=self.rollout_mesh)
                 collect_dataset(cfg, engine, dataset, gt, self.store_dir,
                                 dagger_it, self.rank, self.world_size,
                                 workers=self.env_workers, log_fn=self._log)
@@ -297,7 +303,8 @@ class DaggerTrainer:
                 self.policy,
                 {"params": jax.device_get(state.params),
                  "batch_stats": jax.device_get(state.batch_stats)},
-                eval_cfg.NUM_PROCESSES, compute_dtype=self.rollout_dtype)
+                eval_cfg.NUM_PROCESSES, compute_dtype=self.rollout_dtype,
+                               mesh=self.rollout_mesh)
             agg = evaluate(eval_cfg, engine, dataset, gt,
                            episode_count=min(len(dataset.episodes), 8),
                            workers=self.env_workers, log_fn=self._log)
@@ -341,7 +348,8 @@ class DaggerTrainer:
 
         dataset, gt = load_split(cfg, split)
         engine = RolloutEngine(self.policy, variables, cfg.NUM_PROCESSES,
-                               compute_dtype=self.rollout_dtype)
+                               compute_dtype=self.rollout_dtype,
+                               mesh=self.rollout_mesh)
         envs = construct_envs(cfg, dataset, gt, auto_reset_done=False,
                               workers=self.env_workers,
                               env_cls=VLNCEInferenceEnv)
@@ -493,6 +501,17 @@ class DaggerTrainer:
         eval_cfg.TASK_CONFIG.DATASET.SPLIT = split
         eval_cfg.TASK_CONFIG.ENVIRONMENT.ITERATOR_OPTIONS.SHUFFLE = False
         eval_cfg.NUM_PROCESSES = min(cfg.NUM_PROCESSES, 11)
+        # video evals add the semantic overlay sensor + collision overlays
+        # (`common_trainer.py:272-277`)
+        if eval_cfg.VIDEO_OPTION:
+            sensors = list(eval_cfg.TASK_CONFIG.TASK.SENSORS)
+            if "SEMANTIC_FILTER_SENSOR" not in sensors:
+                sensors.append("SEMANTIC_FILTER_SENSOR")
+            eval_cfg.TASK_CONFIG.TASK.SENSORS = sensors
+            agent_sensors = list(eval_cfg.TASK_CONFIG.SIMULATOR.AGENT_0.SENSORS)
+            if "SEMANTIC_SENSOR" not in agent_sensors:
+                agent_sensors.append("SEMANTIC_SENSOR")
+            eval_cfg.TASK_CONFIG.SIMULATOR.AGENT_0.SENSORS = agent_sensors
         eval_cfg.freeze()
 
         # the checkpoint's config may describe a different model size; build
@@ -509,7 +528,8 @@ class DaggerTrainer:
 
         dataset, gt = load_split(eval_cfg, split)
         engine = RolloutEngine(policy, variables, eval_cfg.NUM_PROCESSES,
-                               compute_dtype=self.rollout_dtype)
+                               compute_dtype=self.rollout_dtype,
+                               mesh=self.rollout_mesh)
         metric_dir = getattr(self.config, "METRIC_DIR", None)
         return evaluate(
             eval_cfg, engine, dataset, gt,
