@@ -32,6 +32,9 @@ def _task_config() -> CN:
     t.SIMULATOR.TURN_ANGLE = 15
     t.SIMULATOR.AGENT_0 = CN()
     t.SIMULATOR.AGENT_0.SENSORS = ["RGB_SENSOR", "DEPTH_SENSOR"]
+    # agent body (habitat-lab defaults; consumed by the navmesh)
+    t.SIMULATOR.AGENT_0.RADIUS = 0.1
+    t.SIMULATOR.AGENT_0.HEIGHT = 1.5
     t.SIMULATOR.HABITAT_SIM_V0 = CN()
     t.SIMULATOR.HABITAT_SIM_V0.GPU_DEVICE_ID = 0
     t.SIMULATOR.HABITAT_SIM_V0.ALLOW_SLIDING = True
@@ -39,12 +42,23 @@ def _task_config() -> CN:
     t.SIMULATOR.RGB_SENSOR.WIDTH = 224
     t.SIMULATOR.RGB_SENSOR.HEIGHT = 224
     t.SIMULATOR.RGB_SENSOR.HFOV = 90
+    t.SIMULATOR.RGB_SENSOR.POSITION = [0.0, 1.25, 0.0]
     t.SIMULATOR.DEPTH_SENSOR = CN()
     t.SIMULATOR.DEPTH_SENSOR.WIDTH = 256
     t.SIMULATOR.DEPTH_SENSOR.HEIGHT = 256
+    t.SIMULATOR.DEPTH_SENSOR.HFOV = 90
+    t.SIMULATOR.DEPTH_SENSOR.POSITION = [0.0, 1.25, 0.0]
+    # habitat-lab DepthSensor normalization: depth -> [0,1] over
+    # [MIN_DEPTH, MAX_DEPTH] meters; the mapper's depth_scale=10
+    # un-normalization (`rgb_mapping.py:149`) assumes MAX_DEPTH=10
+    t.SIMULATOR.DEPTH_SENSOR.MIN_DEPTH = 0.0
+    t.SIMULATOR.DEPTH_SENSOR.MAX_DEPTH = 10.0
+    t.SIMULATOR.DEPTH_SENSOR.NORMALIZE_DEPTH = True
     t.SIMULATOR.SEMANTIC_SENSOR = CN()
     t.SIMULATOR.SEMANTIC_SENSOR.WIDTH = 256
     t.SIMULATOR.SEMANTIC_SENSOR.HEIGHT = 256
+    t.SIMULATOR.SEMANTIC_SENSOR.HFOV = 90
+    t.SIMULATOR.SEMANTIC_SENSOR.POSITION = [0.0, 1.25, 0.0]
 
     t.TASK = CN()
     t.TASK.TYPE = "VLN-v0"

@@ -20,6 +20,7 @@ from ws_mgmap_tpu.env.measures import default_measures
 from ws_mgmap_tpu.env.sensors import (
     GtSemanticMapSensor,
     PathSensor,
+    SemanticFilterSensor,
     SENSOR_REGISTRY,
     SensorContext,
     WaypointSensor,
@@ -99,6 +100,8 @@ class VLNCEDaggerEnv:
         self.waypoint_sensor.set_gt_locations(self.gt_locations)
         self.path_sensor = PathSensor(task_cfg.TASK.VLN_ORACLE_PATH_SENSOR)
         self.gt_semmap_sensor = GtSemanticMapSensor(task_cfg.TASK.GT_SEMANTIC_MAP_SENSOR)
+        self.semantic_filter_sensor = SemanticFilterSensor(
+            task_cfg.TASK.SEMANTIC_FILTER_SENSOR)
         self.enabled_sensors = list(task_cfg.TASK.SENSORS)
 
         ego = config.ego_map_size
@@ -163,7 +166,7 @@ class VLNCEDaggerEnv:
 
     def _observations(self) -> Dict[str, Any]:
         obs = self.sim.render()
-        obs.pop("semantic", None)
+        raw_semantic = obs.pop("semantic", None)
         ctx = self.sensor_ctx
         # heading first: it feeds record_heading for the GT map sensor
         obs["heading"] = SENSOR_REGISTRY["heading"](self.sim, self.episode, ctx)
@@ -176,6 +179,13 @@ class VLNCEDaggerEnv:
         if "GT_SEMANTIC_MAP_SENSOR" in self.enabled_sensors:
             obs["gt_semantic_map"] = self.gt_semmap_sensor(
                 self.sim, self.episode, ctx)
+        if ("SEMANTIC_FILTER_SENSOR" in self.enabled_sensors
+                and raw_semantic is not None):
+            # eval-video overlay: instance->mpcat40->27 one-hot
+            # (`sensors.py:318-359`; enabled by the trainer's video-eval
+            # config surgery like `common_trainer.py:275`)
+            obs["semantic_filter"] = self.semantic_filter_sensor(
+                self.sim, self.episode, ctx, semantic=raw_semantic)
         return obs
 
     def decide_stop(self, prog: float) -> bool:

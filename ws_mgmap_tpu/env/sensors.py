@@ -409,14 +409,51 @@ class GtSemanticMapSensor:
 
 class SemanticFilterSensor:
     """`SemanticFilterSensor` (`sensors.py:318-359`): 27-class one-hot of
-    the simulator semantic frame (eval-video only)."""
+    the simulator semantic frame (eval-video only).
+
+    Real simulator frames hold INSTANCE ids; the reference remaps
+    instance -> mpcat40 category via the scene's semantic annotations
+    (`sensors.py:349-350`, rebuilt once per episode) and then
+    mpcat40 -> 27 (`sensors.py:324-328` == semantics.LABEL_40_TO_27).
+    Backends without annotations (FakeSim) render 27-class labels
+    directly, so only the one-hot applies."""
 
     def __init__(self, config):
         self.category = config.CATEGORY
+        self._prev_episode_id = None
+        self._mapping: Optional[np.ndarray] = None
 
-    def __call__(self, sim, episode, ctx) -> np.ndarray:
-        sem = sim.render()["semantic"].astype(np.int64)
-        sem = np.clip(sem, 0, self.category - 1)
+    def _instance_mapping(self, sim, episode) -> Optional[np.ndarray]:
+        ann = getattr(sim, "semantic_annotations", None)
+        if ann is None:
+            return None
+        if self._prev_episode_id != str(episode.episode_id):
+            scene = ann()
+            if scene is None:
+                return None
+            # instance id ("<region>_<idx>" -> idx) -> mpcat40 index
+            # (`sensors.py:349-350`)
+            inst2lab = {int(obj.id.split("_")[-1]): obj.category.index()
+                        for obj in scene.objects}
+            self._mapping = np.array(
+                [inst2lab.get(i, -1) for i in range(max(inst2lab) + 1)],
+                np.int64)
+            self._prev_episode_id = str(episode.episode_id)
+        return self._mapping
+
+    def __call__(self, sim, episode, ctx,
+                 semantic: Optional[np.ndarray] = None) -> np.ndarray:
+        if semantic is None:
+            semantic = sim.render()["semantic"]
+        sem = np.asarray(semantic, np.int64)
+        mapping = self._instance_mapping(sim, episode)
+        if mapping is not None:
+            sem = np.take(mapping, np.clip(sem, 0, len(mapping) - 1))
+            # void (-1) -> 0, then mpcat40 -> 27 (`sensors.py:353-355`)
+            from ws_mgmap_tpu.env.semantics import convert_labels
+            sem = convert_labels(sem, to=self.category)
+        else:
+            sem = np.clip(sem, 0, self.category - 1)
         h, w = sem.shape
         return np.eye(self.category, dtype=np.float32)[sem.reshape(-1)].reshape(
             h, w, self.category)

@@ -207,5 +207,8 @@ def _default_sim_factory(config):
         from ws_mgmap_tpu.env.sim import FakeSim
         return functools.partial(FakeSim, rgb_hw=rgb_hw, depth_hw=depth_hw)
     from ws_mgmap_tpu.env.habitat_backend import HabitatSimBackend
-    return functools.partial(HabitatSimBackend, rgb_hw=rgb_hw,
-                             depth_hw=depth_hw)
+    # the full SIMULATOR node travels to the adapter so sensor specs (HFOV,
+    # positions, depth normalization) and agent radius/height are config-
+    # faithful (`vlnce_task.yaml:3-21`)
+    return functools.partial(HabitatSimBackend, sim_cfg=sim,
+                             rgb_hw=rgb_hw, depth_hw=depth_hw)
