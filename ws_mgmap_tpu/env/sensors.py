@@ -429,7 +429,9 @@ class SemanticFilterSensor:
             return None
         if self._prev_episode_id != str(episode.episode_id):
             scene = ann()
-            if scene is None:
+            # FakeSim's annotation object is its scene, which has no
+            # instance tree (frames are category labels already)
+            if scene is None or not getattr(scene, "objects", None):
                 return None
             # instance id ("<region>_<idx>" -> idx) -> mpcat40 index
             # (`sensors.py:349-350`)

@@ -124,6 +124,13 @@ def observations_to_image(
     panels.append(rgb)
     if sim is not None:
         panels.append(top_down_view(sim, waypoint_world, size=tile))
+    if "semantic_filter" in obs:
+        # first-person semantic view (27-class one-hot from the
+        # SemanticFilterSensor, reference `utils.py` semantic panel)
+        sf = np.asarray(obs["semantic_filter"])
+        panels.append(cv2.resize(
+            colorize_semantic_map(np.argmax(sf, axis=-1)), (tile, tile),
+            interpolation=cv2.INTER_NEAREST))
     if pred_sem_map is not None:
         labels = np.argmax(pred_sem_map, axis=-1) if pred_sem_map.ndim == 3 \
             else pred_sem_map

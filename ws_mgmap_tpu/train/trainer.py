@@ -493,6 +493,21 @@ class DaggerTrainer:
             ck_cfg.EVAL = cfg.EVAL
             ck_cfg.EVAL_CKPT_PATH_DIR = cfg.EVAL_CKPT_PATH_DIR
             ck_cfg.NUM_PROCESSES = cfg.NUM_PROCESSES
+            # eval-time runtime settings survive the swap — the reference's
+            # _setup_eval_config re-merges the eval command's trailing opts
+            # over the checkpoint config (habitat BaseRLTrainer), so e.g.
+            # `--run-type eval ... VIDEO_OPTION "['disk']"` records videos
+            # of a checkpoint trained without them
+            for key in ("VIDEO_OPTION", "VIDEO_DIR", "VIDEO_NUM",
+                        "METRIC_DIR", "random_agent"):
+                if hasattr(cfg, key):
+                    setattr(ck_cfg, key, getattr(cfg, key))
+            opts = list(getattr(cfg, "CMD_TRAILING_OPTS", []) or [])
+            if opts:
+                try:
+                    ck_cfg.merge_from_list(opts)
+                except Exception:
+                    pass  # opts may name keys absent from older ckpt configs
             cfg = ck_cfg
 
         split = cfg.EVAL.SPLIT
