@@ -106,6 +106,33 @@ def _upsample_x2_matrix(h: int) -> _np.ndarray:
     return u
 
 
+def _upsample_x2_taps(h: int):
+    """Static (i0, i1, w) tap vectors for align_corners=True bilinear x2:
+    out[o] = (1-w[o]) * x[i0[o]] + w[o] * x[i1[o]]."""
+    oh = 2 * h
+    ys = _np.arange(oh, dtype=_np.float32) * _np.float32((h - 1) / (oh - 1))
+    y0 = _np.floor(ys).astype(_np.int32)
+    y1 = _np.minimum(y0 + 1, h - 1)
+    return y0, y1, (ys - y0).astype(_np.float32)
+
+
+def upsample_bilinear_x2_nhwc_blend(x: Array) -> Array:
+    """Gather-blend lowering of the same align_corners=True bilinear x2:
+    two static-index takes + a 2-tap weighted sum per axis. Streams ~3
+    passes of the tensor instead of the dense [2h,h] interpolation matmul
+    (which spends h/2 x the FLOPs on zero taps) — see tools/bench_upsample.py
+    for the measured comparison at the UNet decoder shapes."""
+    n, h, w, c = x.shape
+    i0h, i1h, wh = _upsample_x2_taps(h)
+    i0w, i1w, ww = _upsample_x2_taps(w)
+    wh_ = jnp.asarray(wh).astype(x.dtype)[None, :, None, None]
+    y = (jnp.take(x, jnp.asarray(i0h), axis=1) * (1 - wh_)
+         + jnp.take(x, jnp.asarray(i1h), axis=1) * wh_)
+    ww_ = jnp.asarray(ww).astype(x.dtype)[None, None, :, None]
+    return (jnp.take(y, jnp.asarray(i0w), axis=2) * (1 - ww_)
+            + jnp.take(y, jnp.asarray(i1w), axis=2) * ww_)
+
+
 def upsample_bilinear_x2_nhwc(x: Array) -> Array:
     """`nn.Upsample(scale_factor=2, mode='bilinear', align_corners=True)`
     used throughout the reference UNet / MapDecoder (`unet_encoder.py:49`,
