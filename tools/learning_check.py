@@ -106,6 +106,14 @@ def main():
     ap.add_argument("--seed", type=int, default=0,
                     help="independent FakeSim episode draw (additive "
                          "DATASET.FAKE_SEED_OFFSET); 0 = the canonical set")
+    ap.add_argument("--prog-threshold", type=float, default=None,
+                    help="override STOP_CONDITION.PROG_THRESHOLD (default "
+                         "keeps tiny_config's 0.55). 0.40 was measured best "
+                         "on the seed-7 96-episode stage-1 checkpoint via "
+                         "tools/eval_thresholds.py (judge SR 0.233 @0.55 -> "
+                         "0.317 @0.40): stop at predicted remaining distance "
+                         "~0.6*d0 = 2.1-3.3 m, inside SUCCESS_DISTANCE 3.0 "
+                         "for most of the 3.5-5.5 m episode band")
     ap.add_argument("--log", default=None,
                     help="tee all output to this file (default "
                          "logs/learncheck_seed<seed>_<mode>[_ep<N>].log); "
@@ -118,9 +126,11 @@ def main():
     if args.log is None:
         mode = "twostage" if args.two_stage else "stage1"
         ep_tag = "" if args.episodes == 48 else f"_ep{args.episodes}"
+        thr_tag = ("" if args.prog_threshold is None
+                   else f"_thr{args.prog_threshold:g}")
         args.log = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "logs", f"learncheck_seed{args.seed}_{mode}{ep_tag}.log")
+            "logs", f"learncheck_seed{args.seed}_{mode}{ep_tag}{thr_tag}.log")
     if args.log:
         os.makedirs(os.path.dirname(args.log), exist_ok=True)
         log_f = open(args.log, "w", buffering=1)
@@ -149,10 +159,15 @@ def main():
     from ws_mgmap_tpu.train.trainer import DaggerTrainer
 
     tmp = tempfile.mkdtemp(prefix="learncheck_")
+    print(f"[learning_check] workdir {tmp} (resumable via "
+          f"tools/resume_judge.py if interrupted)")
     cfg = tiny_config(tmp, args.episodes, args.epochs)
-    if args.seed:
+    if args.seed or args.prog_threshold is not None:
         cfg.defrost()
-        cfg.TASK_CONFIG.DATASET.FAKE_SEED_OFFSET = args.seed
+        if args.seed:
+            cfg.TASK_CONFIG.DATASET.FAKE_SEED_OFFSET = args.seed
+        if args.prog_threshold is not None:
+            cfg.STOP_CONDITION.PROG_THRESHOLD = args.prog_threshold
         cfg.freeze()
 
     # untrained baseline eval

@@ -61,6 +61,8 @@ def main():
     ap.add_argument("--best-ckpt", required=True,
                     help="stage-2 checkpoint the selection evals picked")
     ap.add_argument("--log", required=True)
+    ap.add_argument("--prog-threshold", type=float, default=None,
+                    help="must match the interrupted run's --prog-threshold")
     ap.add_argument("--platform", default="cpu")
     args = ap.parse_args()
 
@@ -100,6 +102,8 @@ def main():
     cfg.defrost()
     if args.seed:
         cfg.TASK_CONFIG.DATASET.FAKE_SEED_OFFSET = args.seed
+    if args.prog_threshold is not None:
+        cfg.STOP_CONDITION.PROG_THRESHOLD = args.prog_threshold
     # mirror learning_check.py's cfg3 stage-2 tree, then cfg5 judge surgery
     cfg.DAGGER.ITERATIONS = 3
     cfg.DAGGER.EPOCHS = 4
